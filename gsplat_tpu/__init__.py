@@ -1,0 +1,29 @@
+"""gsplat_tpu — a TPU-native 3D Gaussian Splatting framework in JAX/Pallas.
+
+A from-scratch reimplementation of the capabilities of
+nerfstudio-project/gsplat with an idiomatic XLA/Pallas/pjit architecture.
+Public surface mirrors the reference's curated exports
+(gsplat/__init__.py:19-102) as features land.
+"""
+
+from . import ops
+from .ops import (
+    fully_fused_projection,
+    isect_offset_encode,
+    isect_tiles,
+    proj,
+    quat_scale_to_covar_preci,
+    spherical_harmonics,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fully_fused_projection",
+    "isect_offset_encode",
+    "isect_tiles",
+    "ops",
+    "proj",
+    "quat_scale_to_covar_preci",
+    "spherical_harmonics",
+]

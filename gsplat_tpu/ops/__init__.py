@@ -1,0 +1,57 @@
+from .isect import (
+    Isects,
+    TileWorklist,
+    build_tile_worklist,
+    isect_offset_encode,
+    isect_tiles,
+)
+from .math import (
+    normalize,
+    quat_inverse,
+    quat_multiply,
+    quat_rotate,
+    quat_scale_to_covar_preci,
+    quat_slerp,
+    quat_to_rotmat,
+    rotmat_to_quat,
+    world_to_cam,
+)
+from .projection import (
+    ALPHA_THRESHOLD,
+    GAUSSIAN_EXTEND,
+    MAX_ALPHA,
+    MIN_COMPENSATION,
+    TRANSMITTANCE_THRESHOLD,
+    fully_fused_projection,
+    proj,
+)
+from .rasterize_ref import rasterize_to_pixels_ref
+from .sh import eval_sh_bases, num_sh_bases, spherical_harmonics
+
+__all__ = [
+    "ALPHA_THRESHOLD",
+    "GAUSSIAN_EXTEND",
+    "Isects",
+    "MAX_ALPHA",
+    "MIN_COMPENSATION",
+    "TRANSMITTANCE_THRESHOLD",
+    "TileWorklist",
+    "build_tile_worklist",
+    "eval_sh_bases",
+    "fully_fused_projection",
+    "isect_offset_encode",
+    "isect_tiles",
+    "normalize",
+    "num_sh_bases",
+    "proj",
+    "quat_inverse",
+    "quat_multiply",
+    "quat_rotate",
+    "quat_scale_to_covar_preci",
+    "quat_slerp",
+    "quat_to_rotmat",
+    "rasterize_to_pixels_ref",
+    "rotmat_to_quat",
+    "spherical_harmonics",
+    "world_to_cam",
+]
