@@ -6,9 +6,12 @@ sort (gsplat/cuda/csrc/IntersectTile.cu:214,466,925,1078):
   * All shapes are static: the intersection list has a fixed `capacity`; an
     `overflow` flag reports truncation so callers can grow capacity (re-jit)
     rather than crash.
-  * Expansion (gaussian -> covered tiles) is gather-based: a searchsorted over
-    the inclusive cumsum of per-gaussian tile counts maps every output slot to
-    its (gaussian, k-th tile) pair. No scatter, no dynamic shapes.
+  * Expansion (gaussian -> covered tiles) is a scatter of run boundaries
+    followed by a cumulative max — a "fill-forward" that maps every output
+    slot to its source gaussian WITHOUT binary searches. (TPU note: XLA's
+    per-element gathers run at ~100M elem/s, so a searchsorted over millions
+    of queries costs >100ms; boundary-scatter + cummax + one row-gather of a
+    packed attribute table costs ~3ms for the same result.)
   * The 64-bit `image|tile|depth` radix key becomes a 2-key lexicographic
     `jax.lax.sort` on (int32 image*tiles+tile, float32 depth). For positive
     depths this is order-identical to the reference's float-bit key
@@ -35,17 +38,16 @@ class Isects(NamedTuple):
     tile_keys: jax.Array  # [P] int32, sorted; I*n_tiles marks padding
     depth_keys: jax.Array  # [P] float32, sorted within each tile
     flatten_ids: jax.Array  # [P] int32 into [I*N]; 0 for padding
-    emit_ids: jax.Array  # [P] int32 pre-sort emission slot of each entry
-    n_isects: jax.Array  # [] int32 true intersection count (<= capacity if no overflow)
+    n_isects: jax.Array  # [] int32 true count (<= capacity if no overflow)
     overflow: jax.Array  # [] bool, True if capacity was exceeded
 
 
 class TileWorklist(NamedTuple):
     """Chunk-aligned per-tile layout of the sorted intersection list.
 
-    Slot `a` of the aligned buffer maps to sorted entry `src_idx[a]` when
-    `valid[a]`, else it is padding. Tile `t`'s chunks start at chunk index
-    `chunk_starts[t]` and span `n_chunks[t]` chunks of size `chunk`.
+    Aligned slot `a` maps to sorted entry `src_idx[a]` when `valid[a]`, else
+    it is padding. Tile `t`'s chunks start at chunk index `chunk_starts[t]`
+    and span `n_chunks[t]` chunks.
     """
 
     src_idx: jax.Array  # [A] int32 into the sorted arrays
@@ -54,8 +56,23 @@ class TileWorklist(NamedTuple):
     n_chunks: jax.Array  # [T] int32
     tile_starts: jax.Array  # [T] int32 range starts in the *sorted* list
     tile_counts: jax.Array  # [T] int32 range lengths in the sorted list
-    chunk: int  # static chunk size
-    n_tiles_total: int  # static I * tile_height * tile_width
+
+
+def _fill_forward_index(
+    boundary_pos: jax.Array,  # [E] position where run e begins (sorted asc)
+    live: jax.Array,  # [E] bool, runs with nonzero length
+    capacity: int,
+) -> jax.Array:
+    """Map each slot j in [0, capacity) to the run index covering it.
+
+    Scatter run ids at their start positions, then fill forward with a
+    cumulative max. Gather-free (the TPU-fast expansion primitive).
+    """
+    E = boundary_pos.shape[0]
+    pos = jnp.where(live, boundary_pos, capacity)
+    mark = jnp.full(capacity + 1, -1, jnp.int32)
+    mark = mark.at[pos].max(jnp.arange(E, dtype=jnp.int32))
+    return jnp.maximum(jax.lax.cummax(mark[:capacity], axis=0), 0)
 
 
 def isect_tiles(
@@ -68,7 +85,7 @@ def isect_tiles(
     capacity: int,
     sort: bool = True,
 ) -> Isects:
-    """Enumerate (image, tile, gaussian) intersections and sort by (tile, depth).
+    """Enumerate (image, tile, gaussian) intersections, sorted by (tile, depth).
 
     Parity: gsplat/cuda/_torch_impl.py:_isect_tiles — identical AABB tile
     coverage ([floor(mean/ts - r/ts), ceil(mean/ts + r/ts)) clamped) and
@@ -79,6 +96,10 @@ def isect_tiles(
     E = I * N
     n_tiles = tile_width * tile_height
     sentinel_key = I * n_tiles
+    # float transport in the packed attribute table is exact below 2**24
+    assert capacity < 2**24 and E < 2**24, (
+        "capacity and I*N must be < 2**24 (float-exact packed transport)"
+    )
 
     m2 = means2d.reshape(E, 2)
     rad = radii.reshape(E, 2).astype(means2d.dtype)
@@ -100,37 +121,50 @@ def isect_tiles(
     cum = jnp.cumsum(cnt)  # inclusive, [E]
     n_isects = cum[-1]
     overflow = n_isects > capacity
+    starts = cum - cnt
 
-    # Gather-based expansion: slot j belongs to element e = first index with
-    # cum[e] > j; its within-element ordinal is j - (cum[e] - cnt[e]).
+    # gather-free expansion: slot -> source gaussian
+    e = _fill_forward_index(starts, cnt > 0, capacity)
+
+    # one packed row-gather for all per-gaussian attributes
+    table = jnp.stack(
+        [
+            starts.astype(jnp.float32),
+            tmin_x.astype(jnp.float32),
+            tmin_y.astype(jnp.float32),
+            jnp.maximum(w, 1).astype(jnp.float32),
+            dep.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [E, 5]
+    attrs = table[e]  # [capacity, 5] row gather
+    start_e = attrs[:, 0].astype(jnp.int32)
+    tminx_e = attrs[:, 1].astype(jnp.int32)
+    tminy_e = attrs[:, 2].astype(jnp.int32)
+    w_e = attrs[:, 3].astype(jnp.int32)
+    dep_e = attrs[:, 4]
+
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    e = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    e = jnp.minimum(e, E - 1)
-    within = slots - (cum[e] - cnt[e])
-    live = slots < n_isects
-
-    we = jnp.maximum(w[e], 1)
-    ty = tmin_y[e] + within // we
-    tx = tmin_x[e] + within % we
+    live_slot = slots < n_isects
+    within = slots - start_e
+    ty = tminy_e + within // w_e
+    tx = tminx_e + within % w_e
     image_id = e // N
     tile_key = image_id * n_tiles + ty * tile_width + tx
-    tile_key = jnp.where(live, tile_key, sentinel_key).astype(jnp.int32)
-    depth_key = jnp.where(live, dep[e], jnp.inf).astype(jnp.float32)
-    flatten = jnp.where(live, e, 0).astype(jnp.int32)
+    tile_key = jnp.where(live_slot, tile_key, sentinel_key).astype(jnp.int32)
+    depth_key = jnp.where(live_slot, dep_e, jnp.inf).astype(jnp.float32)
+    flatten = jnp.where(live_slot, e, 0).astype(jnp.int32)
 
     if sort:
-        tile_key, depth_key, flatten, emit = jax.lax.sort(
-            (tile_key, depth_key, flatten, slots), num_keys=2, is_stable=True
+        tile_key, depth_key, flatten = jax.lax.sort(
+            (tile_key, depth_key, flatten), num_keys=2, is_stable=True
         )
-    else:
-        emit = slots
 
     return Isects(
         tiles_per_gauss=cnt.reshape(I, N),
         tile_keys=tile_key,
         depth_keys=depth_key,
         flatten_ids=flatten,
-        emit_ids=emit,
         n_isects=n_isects.astype(jnp.int32),
         overflow=overflow,
     )
@@ -145,8 +179,8 @@ def isect_offset_encode(
     """Per-(image, tile) start offsets [I, tile_height, tile_width] int32.
 
     Parity: gsplat/cuda/_torch_impl.py:_isect_offset_encode /
-    IntersectTile.cu:925 (intersect_offset_kernel), computed as a single
-    searchsorted over the sorted keys instead of boundary detection.
+    IntersectTile.cu:925. A searchsorted with only I*n_tiles queries — cheap
+    (the cost scales with query count, not list length).
     """
     n_tiles = tile_width * tile_height
     dense = jnp.arange(I * n_tiles, dtype=jnp.int32)
@@ -163,7 +197,7 @@ def build_tile_worklist(
 
     Aligned capacity is `P + n_tiles_total * chunk` (static): each tile's
     range is padded up to a multiple of `chunk` so rasterizer DMA chunks are
-    tile-pure. The mapping aligned-slot -> sorted-index is gather-only.
+    tile-pure. Gather-free except one small-table row gather.
     """
     P = tile_keys.shape[0]
     T = n_tiles_total
@@ -171,21 +205,35 @@ def build_tile_worklist(
 
     bounds = jnp.searchsorted(
         tile_keys, jnp.arange(T + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)  # T+1 queries — cheap
     tile_starts = bounds[:-1]
     tile_counts = bounds[1:] - bounds[:-1]
     n_chunks = (tile_counts + chunk - 1) // chunk
     chunk_cum = jnp.cumsum(n_chunks)  # inclusive
     chunk_starts = chunk_cum - n_chunks
 
-    # aligned slot a -> tile t (first tile whose aligned end exceeds a)
-    slot_cum = chunk_cum * chunk  # inclusive aligned end per tile
+    # aligned slot a -> tile t, gather-free fill-forward
+    aligned_starts = chunk_starts * chunk  # [T], ascending
+    t = _fill_forward_index(aligned_starts, n_chunks > 0, A)
+
+    # small-table row gather for the per-tile attributes
+    ttable = jnp.stack(
+        [
+            aligned_starts.astype(jnp.float32),
+            tile_starts.astype(jnp.float32),
+            tile_counts.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [T, 3]
+    tat = ttable[t]
+    a_start = tat[:, 0].astype(jnp.int32)
+    t_start = tat[:, 1].astype(jnp.int32)
+    t_count = tat[:, 2].astype(jnp.int32)
+
     a = jnp.arange(A, dtype=jnp.int32)
-    t = jnp.searchsorted(slot_cum, a, side="right").astype(jnp.int32)
-    t = jnp.minimum(t, T - 1)
-    within = a - (slot_cum[t] - n_chunks[t] * chunk)
-    valid = within < tile_counts[t]
-    src = jnp.where(valid, tile_starts[t] + within, 0).astype(jnp.int32)
+    within = a - a_start
+    valid = within < t_count
+    src = jnp.where(valid, t_start + within, 0).astype(jnp.int32)
 
     return TileWorklist(
         src_idx=src,
@@ -194,8 +242,6 @@ def build_tile_worklist(
         n_chunks=n_chunks.astype(jnp.int32),
         tile_starts=tile_starts,
         tile_counts=tile_counts,
-        chunk=chunk,
-        n_tiles_total=T,
     )
 
 

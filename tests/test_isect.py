@@ -139,7 +139,7 @@ def test_worklist_alignment(scene2d):
         )
         if counts[t]:
             assert (keys[s[: counts[t]]] == t).all()
-    # emission permutation is a bijection on live entries
+    # per-gaussian emission runs partition the live entries
     n = int(out.n_isects)
-    emit = np.asarray(out.emit_ids)[:n]
-    assert len(np.unique(emit)) == n
+    cnt = np.asarray(out.tiles_per_gauss).reshape(-1)
+    assert cnt.sum() == n
