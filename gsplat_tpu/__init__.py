@@ -15,6 +15,8 @@ from .ops import (
     quat_scale_to_covar_preci,
     spherical_harmonics,
 )
+from .ops.rasterize import rasterize_to_pixels
+from .rendering import rasterization
 
 __version__ = "0.1.0"
 
@@ -25,5 +27,7 @@ __all__ = [
     "ops",
     "proj",
     "quat_scale_to_covar_preci",
+    "rasterization",
+    "rasterize_to_pixels",
     "spherical_harmonics",
 ]

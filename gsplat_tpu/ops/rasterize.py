@@ -69,12 +69,13 @@ def _bitcast_i32(f: jax.Array) -> jax.Array:
     return f.astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def _rasterize_core(
     m2f,  # [I*N, 2]
     cnf,  # [I*N, 3]
     clf,  # [I*N, D]
     opf,  # [I*N]
+    m2abs,  # [I*N, 2] absgrad carrier (value unused; cotangent = abs grads)
     ids_data,  # [A] int32 gaussian flat id per aligned slot (0 for padding)
     slot_valid,  # [A] bool
     chunk_starts,  # [T] int32 (units of chunks)
@@ -85,18 +86,20 @@ def _rasterize_core(
     tiles_w: int,
     tiles_per_image: int,
     image_size: Tuple[int, int],  # (width, height)
+    absgrad: bool,
 ):
     out, _ = _core_fwd(
-        m2f, cnf, clf, opf, ids_data, slot_valid, chunk_starts, n_chunks,
-        gauss_bounds, chunk, n_channels, tiles_w, tiles_per_image, image_size,
+        m2f, cnf, clf, opf, m2abs, ids_data, slot_valid, chunk_starts,
+        n_chunks, gauss_bounds, chunk, n_channels, tiles_w, tiles_per_image,
+        image_size, absgrad,
     )
     return out
 
 
 def _core_fwd(
-    m2f, cnf, clf, opf, ids_data, slot_valid, chunk_starts, n_chunks,
+    m2f, cnf, clf, opf, m2abs, ids_data, slot_valid, chunk_starts, n_chunks,
     gauss_bounds,
-    chunk, n_channels, tiles_w, tiles_per_image, image_size,
+    chunk, n_channels, tiles_w, tiles_per_image, image_size, absgrad,
 ):
     width, height = image_size
     D = n_channels
@@ -127,7 +130,9 @@ def _core_fwd(
     return (pix_out, t_final), res
 
 
-def _core_bwd(chunk, n_channels, tiles_w, tiles_per_image, image_size, res, cts):
+def _core_bwd(
+    chunk, n_channels, tiles_w, tiles_per_image, image_size, absgrad, res, cts
+):
     (
         isect_data, ids_data, slot_valid, chunk_starts, n_chunks,
         gauss_bounds, pix_out, t_final,
@@ -154,19 +159,25 @@ def _core_bwd(chunk, n_channels, tiles_w, tiles_per_image, image_size, res, cts)
         (ids_sort, jnp.arange(A, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
     v_rows = v_aligned.T[perm][:, : 6 + D]  # [A, 6+D] row gather
+    if absgrad:
+        # per-tile |v_means2d| reduced alongside (AbsGS, arXiv:2404.10484;
+        # same tile granularity as the reference's warp-reduced atomics)
+        v_rows = jnp.concatenate([v_rows, jnp.abs(v_rows[:, 0:2])], axis=1)
+    W = v_rows.shape[1]
     cs = jnp.concatenate(
-        [jnp.zeros((1, 6 + D), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
-    )  # [A+1, 6+D]
-    v_gauss = cs[gauss_bounds[:, 1]] - cs[gauss_bounds[:, 0]]  # [I*N, 6+D]
+        [jnp.zeros((1, W), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
+    )  # [A+1, W]
+    v_gauss = cs[gauss_bounds[:, 1]] - cs[gauss_bounds[:, 0]]  # [I*N, W]
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]
     v_op = v_gauss[:, 5]
     v_cl = v_gauss[:, 6 : 6 + D]
+    v_m2abs = v_gauss[:, 6 + D :] if absgrad else jnp.zeros((IN, 2), v_m2.dtype)
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
-        v_m2, v_cn, v_cl, v_op,
+        v_m2, v_cn, v_cl, v_op, v_m2abs,
         f0(ids_data), f0(slot_valid), f0(chunk_starts), f0(n_chunks),
         f0(gauss_bounds),
     )
@@ -188,6 +199,8 @@ def rasterize_to_pixels(
     masks: Optional[jax.Array] = None,  # [I, th, tw] bool
     tile_size: int = TILE,
     chunk: int = DEFAULT_CHUNK,
+    absgrad: bool = False,
+    means2d_abs: Optional[jax.Array] = None,  # [I, N, 2] absgrad carrier
 ) -> Tuple[jax.Array, jax.Array]:
     """Rasterize depth-sorted gaussians to images.
 
@@ -245,11 +258,14 @@ def rasterize_to_pixels(
     starts = jnp.minimum(cum - cnt, n_live)
     gauss_bounds = jnp.stack([starts, ends], axis=1).astype(jnp.int32)
 
+    if means2d_abs is None:
+        means2d_abs = jnp.zeros((I * N, 2), means2d.dtype)
     pix_out, t_final = _rasterize_core(
         means2d.reshape(I * N, 2),
         conics.reshape(I * N, 3),
         colors.reshape(I * N, D),
         opacities.reshape(I * N),
+        means2d_abs.reshape(I * N, 2),
         ids_data,
         worklist.valid,
         worklist.chunk_starts,
@@ -260,6 +276,7 @@ def rasterize_to_pixels(
         tw,
         th * tw,
         (image_width, image_height),
+        absgrad,
     )
 
     render = untile_image(pix_out, I, th, tw, image_height, image_width)

@@ -1,0 +1,324 @@
+"""Public rasterization API: one jitted function composing the TPU pipeline.
+
+Analog of gsplat/rendering.py:rasterization (:234) — same capabilities,
+TPU-native architecture: where the reference dispatches to a single fused
+C++ orchestrator op (gsplat/cuda/csrc/Rendering.cpp:811), here the pipeline
+is a pure-JAX composition (projection -> SH -> tile intersection -> sort ->
+Pallas rasterization) that XLA compiles into one program. All shapes are
+static: the intersection worklist has a fixed capacity (`isect_capacity`)
+with an overflow flag in `meta`, instead of the reference's dynamically
+sized CSR buffers.
+
+Differentiation notes (JAX-functional replacements for torch idioms):
+  * Screen-space gradients for densification (torch: `meta["means2d"].grad`
+    via retain_grad): pass `means2d_offset` (zeros, [..., C, N, 2]) and take
+    `jax.grad` w.r.t. it. With `absgrad=True` its cotangent is the
+    tile-granular absolute gradient (AbsGS), mirroring
+    `meta["means2d"].absgrad`.
+  * Everything else differentiates through `jax.grad` as usual; the Pallas
+    rasterizer has a custom_vjp, the rest is plain jnp.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.isect import build_tile_worklist, isect_offset_encode, isect_tiles
+from .ops.projection import fully_fused_projection
+from .ops.rasterize import rasterize_to_pixels
+from .ops.rasterize_pallas import DEFAULT_CHUNK, TILE
+from .ops.sh import spherical_harmonics
+
+# Render-mode predicates. Parity: gsplat/rendering.py:136-161. The hit
+# distance modes (d, Ed, RGB-d, RGB-Ed) belong to the eval3d path and land
+# with it; the Gaussian-depth modes are supported here.
+_COLOR_MODES = {"RGB", "RGB-d", "RGB-Ed", "RGB+D", "RGB+ED"}
+_DEPTH_MODES = {"D", "ED", "RGB+D", "RGB+ED"}
+_HIT_DIST_MODES = {"d", "Ed", "RGB-d", "RGB-Ed"}
+_EXPECTED_MODES = {"Ed", "ED", "RGB-Ed", "RGB+ED"}
+
+
+def render_mode_has_color(mode: str) -> bool:
+    return mode in _COLOR_MODES
+
+
+def render_mode_has_depth_channel(mode: str) -> bool:
+    return mode in _DEPTH_MODES or mode in _HIT_DIST_MODES
+
+
+def render_mode_has_expected_depth(mode: str) -> bool:
+    return mode in _EXPECTED_MODES
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _campos_from_viewmats(viewmats: jax.Array) -> jax.Array:
+    """Camera centers [..., C, 3] from world-to-cam matrices (rigid inverse).
+
+    campos = -R^T t — avoids a full 4x4 inverse (and matches the reference's
+    use of `inverse(viewmats)[..., :3, 3]`, rendering.py:700-702, exactly
+    for rigid transforms).
+    """
+    R = viewmats[..., :3, :3]
+    t = viewmats[..., :3, 3]
+    return -jnp.einsum("...ji,...j->...i", R, t, precision="highest")
+
+
+def render_projected(
+    means2d_f: jax.Array,  # [I, N, 2]
+    conics_f: jax.Array,  # [I, N, 3]
+    feats_f: jax.Array,  # [I, N, D]
+    op_f: jax.Array,  # [I, N]
+    radii_f: jax.Array,  # [I, N, 2]
+    depths_f: jax.Array,  # [I, N]
+    width: int,
+    height: int,
+    tile_size: int,
+    isect_capacity: int,
+    backgrounds: Optional[jax.Array] = None,  # [I, D]
+    masks: Optional[jax.Array] = None,  # [I, th, tw]
+    absgrad: bool = False,
+    means2d_abs: Optional[jax.Array] = None,
+):
+    """Tile-intersect, sort, and rasterize already-projected splats.
+
+    The post-projection tail shared by the single-process `rasterization()`
+    and the SPMD path (which exchanges projected splats between shards
+    first — the analog of Rendering.cpp:1289-1331's distributed scatter).
+    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], isects).
+    """
+    I = means2d_f.shape[0]
+    th = -(-height // tile_size)
+    tw = -(-width // tile_size)
+    isect_capacity = _round_up(isect_capacity, DEFAULT_CHUNK)
+    isects = isect_tiles(
+        means2d_f, radii_f, depths_f, tile_size, tw, th, isect_capacity
+    )
+    worklist = build_tile_worklist(isects.tile_keys, I * th * tw, DEFAULT_CHUNK)
+    render_colors, render_alphas = rasterize_to_pixels(
+        means2d_f,
+        conics_f,
+        feats_f,
+        op_f,
+        width,
+        height,
+        isects,
+        worklist=worklist,
+        backgrounds=backgrounds,
+        masks=masks,
+        tile_size=tile_size,
+        absgrad=absgrad,
+        means2d_abs=means2d_abs,
+    )
+    return render_colors, render_alphas, isects
+
+
+def rasterization(
+    means: jax.Array,  # [..., N, 3]
+    quats: Optional[jax.Array],  # [..., N, 4]
+    scales: Optional[jax.Array],  # [..., N, 3]
+    opacities: jax.Array,  # [..., N]
+    colors: Optional[jax.Array],  # [..., (C,) N, D] or [N, K, D] SH
+    viewmats: jax.Array,  # [..., C, 4, 4]
+    Ks: jax.Array,  # [..., C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    eps2d: float = 0.3,
+    sh_degree: Optional[int] = None,
+    packed: bool = True,  # accepted for API parity; TPU path is always dense
+    tile_size: int = TILE,
+    backgrounds: Optional[jax.Array] = None,  # [..., C, D]
+    render_mode: str = "RGB",
+    sparse_grad: bool = False,  # accepted for API parity; grads are dense
+    absgrad: bool = False,
+    rasterize_mode: str = "classic",
+    channel_chunk: int = 32,  # parity arg; VMEM handles all D natively
+    distributed: bool = False,  # single-process path; see parallel/ for SPMD
+    camera_model: str = "pinhole",
+    segmented: bool = False,  # parity arg; lax.sort is always segment-stable
+    covars: Optional[jax.Array] = None,  # [..., N, 3, 3] or [..., N, 6]
+    masks: Optional[jax.Array] = None,  # [..., C, th, tw] bool tile masks
+    isect_capacity: Optional[int] = None,
+    means2d_offset: Optional[jax.Array] = None,  # [..., C, N, 2] grad carrier
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Rasterize N 3D Gaussians to C image planes (optionally batched).
+
+    Returns (render_colors [..., C, H, W, X], render_alphas [..., C, H, W, 1],
+    meta). X = D (+1 with a depth channel), matching the reference's render
+    modes RGB / D / ED / RGB+D / RGB+ED (gsplat/rendering.py:324-340).
+
+    `isect_capacity` is the static size of the tile-intersection worklist
+    (defaults to 4 * total_cameras * N, rounded to the DMA chunk);
+    `meta["isect_overflow"]` reports truncation so callers can re-jit larger.
+    """
+    if render_mode in _HIT_DIST_MODES:
+        raise NotImplementedError(
+            f"hit-distance render mode {render_mode!r} requires the eval3d "
+            "path (not yet implemented)"
+        )
+    if render_mode not in _COLOR_MODES | _DEPTH_MODES:
+        raise ValueError(f"unknown render_mode: {render_mode!r}")
+    assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
+    assert tile_size == TILE, "the Pallas rasterizer requires tile_size == 16"
+
+    has_color = render_mode_has_color(render_mode)
+    has_depth = render_mode_has_depth_channel(render_mode)
+    if has_color and colors is None:
+        raise ValueError(f"colors are required for render_mode {render_mode!r}")
+
+    batch_dims = viewmats.shape[:-3]
+    B = math.prod(batch_dims) if batch_dims else 1
+    C = viewmats.shape[-3]
+    N = means.shape[-2]
+    I = B * C
+
+    calc_compensations = rasterize_mode == "antialiased"
+    radii, means2d, depths, conics, compensations = fully_fused_projection(
+        means,
+        covars,
+        quats,
+        scales,
+        viewmats,
+        Ks,
+        width,
+        height,
+        eps2d=eps2d,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        radius_clip=radius_clip,
+        calc_compensations=calc_compensations,
+        camera_model=camera_model,
+        opacities=opacities,
+    )  # [..., C, N, ...]
+
+    # flatten batch+camera dims to I for tiling/rasterization
+    radii_f = radii.reshape(I, N, 2)
+    means2d_f = means2d.reshape(I, N, 2)
+    depths_f = depths.reshape(I, N)
+    conics_f = conics.reshape(I, N, 3)
+
+    op = jnp.broadcast_to(
+        opacities[..., None, :], batch_dims + (C, N)
+    ).reshape(I, N)
+    if calc_compensations:
+        op = op * compensations.reshape(I, N)
+
+    # feature assembly: SH eval or broadcast of post-activation colors.
+    # Parity: gsplat/rendering.py:_maybe_evaluate_sh (:687-716, clamp=True).
+    if has_color:
+        if sh_degree is not None:
+            campos = _campos_from_viewmats(viewmats)  # [..., C, 3]
+            dirs = means[..., None, :, :] - campos[..., None, :]  # [..., C, N, 3]
+            sh_masks = (radii > 0).all(axis=-1)
+            feats = spherical_harmonics(sh_degree, dirs, colors, masks=sh_masks)
+            feats = jnp.maximum(feats + 0.5, 0.0)
+            feats_f = feats.reshape(I, N, -1)
+        else:
+            if colors.ndim == len(batch_dims) + 2:  # [..., N, D]
+                feats = jnp.broadcast_to(
+                    colors[..., None, :, :],
+                    batch_dims + (C, N, colors.shape[-1]),
+                )
+            else:  # [..., C, N, D]
+                feats = jnp.broadcast_to(
+                    colors, batch_dims + (C, N, colors.shape[-1])
+                )
+            feats_f = feats.reshape(I, N, -1)
+        if has_depth:
+            feats_f = jnp.concatenate([feats_f, depths_f[..., None]], axis=-1)
+    else:
+        feats_f = depths_f[..., None]
+    D_out = feats_f.shape[-1]
+
+    bg_f = None
+    if backgrounds is not None:
+        bg = jnp.broadcast_to(
+            backgrounds, batch_dims + (C, backgrounds.shape[-1])
+        ).reshape(I, -1)
+        if bg.shape[-1] < D_out:  # zero background for the depth channel
+            bg = jnp.pad(bg, ((0, 0), (0, D_out - bg.shape[-1])))
+        bg_f = bg
+
+    th = -(-height // tile_size)
+    tw = -(-width // tile_size)
+    if isect_capacity is None:
+        isect_capacity = _round_up(max(4 * I * N, DEFAULT_CHUNK), DEFAULT_CHUNK)
+    else:
+        isect_capacity = _round_up(isect_capacity, DEFAULT_CHUNK)
+
+    masks_f = masks.reshape(I, th, tw) if masks is not None else None
+
+    m2_render = means2d_f
+    m2_abs = None
+    if means2d_offset is not None:
+        off = means2d_offset.reshape(I, N, 2)
+        if absgrad:
+            m2_abs = off  # cotangent becomes the AbsGS gradient
+        else:
+            m2_render = means2d_f + off  # cotangent = true screen grads
+
+    render_colors, render_alphas, isects = render_projected(
+        m2_render,
+        conics_f,
+        feats_f,
+        op,
+        radii_f,
+        depths_f,
+        width,
+        height,
+        tile_size,
+        isect_capacity,
+        backgrounds=bg_f,
+        masks=masks_f,
+        absgrad=absgrad,
+        means2d_abs=m2_abs,
+    )
+
+    if render_mode_has_expected_depth(render_mode):
+        depth_ch = render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10)
+        render_colors = jnp.concatenate(
+            [render_colors[..., :-1], depth_ch], axis=-1
+        )
+
+    out_shape = batch_dims + (C, height, width)
+    render_colors = render_colors.reshape(out_shape + (D_out,))
+    render_alphas = render_alphas.reshape(out_shape + (1,))
+
+    meta = {
+        "batch_ids": None,
+        "camera_ids": None,
+        "gaussian_ids": None,
+        "radii": radii,
+        "means2d": means2d,
+        "depths": depths,
+        "conics": conics,
+        "opacities": op.reshape(batch_dims + (C, N)),
+        "tile_width": tw,
+        "tile_height": th,
+        "tiles_per_gauss": isects.tiles_per_gauss.reshape(
+            batch_dims + (C, N)
+        ),
+        "isect_ids": isects.tile_keys,
+        "flatten_ids": isects.flatten_ids,
+        "isect_offsets": isect_offset_encode(
+            isects.tile_keys, I, tw, th
+        ).reshape(batch_dims + (C, th, tw)),
+        "width": width,
+        "height": height,
+        "tile_size": tile_size,
+        "n_batches": B,
+        "n_cameras": C,
+        "n_isects": isects.n_isects,
+        "isect_overflow": isects.overflow,
+        "isect_capacity": isect_capacity,
+    }
+    return render_colors, render_alphas, meta
