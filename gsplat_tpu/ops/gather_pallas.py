@@ -1,0 +1,337 @@
+"""Pallas TPU kernels for gather-free worklist assembly.
+
+XLA's gather on TPU runs at per-element speed (~GB/s) — hopeless for the
+tens of millions of rows the rasterization worklists move every step. These
+kernels replace every large gather in the pipeline with *windowed one-hot
+selection on the MXU*, exploiting two structural facts:
+
+  1. Both expansions in the pipeline are MONOTONE: emission slots map to
+     non-decreasing gaussian rows (run expansion), and aligned slots map to
+     non-decreasing sorted rows (per-tile chunk padding). A chunk of CH
+     output slots therefore draws from a bounded, contiguous source window
+     (≤ CH+1 rows), which one async DMA stages into VMEM.
+  2. One-hot selection via f32 matmul is BIT-EXACT on the TPU MXU at any
+     precision (products with 0.0/1.0 are exact and each row sums exactly
+     one nonzero term) — verified for the full f32 range incl. denormals.
+
+Replaces (TPU-natively, not structurally) the reference's expansion and
+staging machinery: gsplat/cuda/csrc/IntersectTile.cu:214-524 (second-pass
+key emission) and the rasterizer's shared-memory gaussian staging
+(RasterizeToPixels3DGSSerialBatchFwd.cu:163-193, one thread-per-gaussian
+random load) — random access that is cheap on GPUs and catastrophic on TPU.
+
+Kernel A (`expand_emission`): per-gaussian attribute table [F_tab, E_pad]
+  -> per-emission-slot sort keys (tile, depth) + render fields, in one pass.
+  Every gaussian emits max(tiles_covered, 1) slots (culled gaussians emit a
+  single sentinel-keyed dummy so source windows stay bounded).
+
+Kernel B (`align_rows`): depth-sorted field rows [F, P_pad] -> chunk-aligned
+  per-tile layout [F, A] consumed by the rasterization kernels.
+
+Integer transport: large ints ride as (hi, lo) = (v >> 12, v & 4095) f32
+column pairs (each < 2**24, exact) and are recombined in int32 on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CH = 512  # output slots per grid step
+W_A = 768  # source window rows: >= CH + 1 runs + 128 alignment slack
+LANE = 128  # window base alignment (DMA minor-dim constraint)
+
+# Kernel-A table row indices (f32, field-major [F_tab, E_pad]):
+ROW_CUMEX_HI = 0  # exclusive emission cumsum, hi 20 bits (v >> 12)
+ROW_CUMEX_LO = 1  # exclusive emission cumsum, lo 12 bits
+ROW_CUMIN_HI = 2  # inclusive emission cumsum, hi
+ROW_CUMIN_LO = 3  # inclusive emission cumsum, lo
+ROW_TMINX = 4  # tile rect min x (sentinel-placed for culled gaussians)
+ROW_TMINY = 5
+ROW_W = 6  # tile rect width (>= 1)
+ROW_IM = 7  # image index (== n_images for culled => sentinel keys)
+ROW_DEPTH = 8
+ROW_FIELDS = 9  # render fields start: x, y, ca, cb, cc, op, colors...
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _hi_lo(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """int32 -> exact (hi, lo) f32 pair (12-bit split)."""
+    return (v >> 12).astype(jnp.float32), (v & 0xFFF).astype(jnp.float32)
+
+
+def _recombine(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """(hi, lo) f32 pair -> int32."""
+    return hi.astype(jnp.int32) * 4096 + lo.astype(jnp.int32)
+
+
+def _sel(win_rows: jax.Array, onehot: jax.Array) -> jax.Array:
+    """Select columns: (F, W) x (CH, W) -> (F, CH). Bit-exact on the MXU."""
+    return jax.lax.dot_general(
+        win_rows,
+        onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _int_divmod(a: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Exact int32 floor-div/mod for 0 <= a < 2**24, 1 <= b < 2**24.
+
+    Float division with a one-step correction (float rounding can put the
+    quotient off by one near exact multiples).
+    """
+    q = jnp.floor(a.astype(jnp.float32) / b.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    r = a - q * b
+    under = r < 0
+    q = jnp.where(under, q - 1, q)
+    r = jnp.where(under, r + b, r)
+    over = r >= b
+    q = jnp.where(over, q + 1, q)
+    r = jnp.where(over, r - b, r)
+    return q, r
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: emission expansion (table -> keys + fields per emission slot)
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(
+    # scalar prefetch
+    win_starts_ref,  # [K] int32, window base row (multiple of LANE)
+    nslots_ref,  # [1] int32 live emission slots
+    # inputs
+    table_hbm,  # [F_tab, E_pad] f32 in HBM
+    # outputs
+    key_ref,  # (1, CH) int32
+    depth_ref,  # (1, CH) f32
+    flat_ref,  # (1, CH) int32
+    fields_ref,  # (R_pad, CH) f32
+    # scratch
+    buf_ref,  # (2, F_tab, W_A) VMEM
+    sem,  # (2,) DMA semaphores
+    *,
+    n_render: int,
+    tile_w: int,
+    tiles_per_im: int,
+    sentinel: int,
+):
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+    slot0 = c * CH
+
+    def dma(slot, cc):
+        off = pl.multiple_of(win_starts_ref[cc], LANE)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(off, W_A)], buf_ref.at[slot], sem.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < n_c)
+    def _():
+        dma(1 - slot, c + 1).start()
+
+    dma(slot, c).wait()
+    win = buf_ref[slot]  # (F_tab, W_A)
+    sb = win_starts_ref[c]
+
+    s_col = slot0 + jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)  # (CH,1)
+    cum_ex = _recombine(win[ROW_CUMEX_HI : ROW_CUMEX_HI + 1, :],
+                        win[ROW_CUMEX_LO : ROW_CUMEX_LO + 1, :])  # (1, W)
+    cum_in = _recombine(win[ROW_CUMIN_HI : ROW_CUMIN_HI + 1, :],
+                        win[ROW_CUMIN_LO : ROW_CUMIN_LO + 1, :])
+    live = s_col < nslots_ref[0]
+    hot_b = (s_col >= cum_ex) & (s_col < cum_in) & live  # (CH, W)
+    onehot = hot_b.astype(jnp.float32)
+
+    # one MXU pass selects every per-slot attribute (bit-exact); an extra
+    # iota row recovers the selected source index j (< W_A < 2**24: exact)
+    # and a ones row recovers the per-slot hit count (the "found" mask)
+    jf = jax.lax.broadcasted_iota(jnp.float32, (1, W_A), 1)
+    ones = jnp.ones((1, W_A), jnp.float32)
+    sel = _sel(jnp.concatenate([win, jf, ones], axis=0), onehot)
+    tminx = sel[ROW_TMINX : ROW_TMINX + 1].astype(jnp.int32)  # (1, CH)
+    tminy = sel[ROW_TMINY : ROW_TMINY + 1].astype(jnp.int32)
+    w_rect = jnp.maximum(sel[ROW_W : ROW_W + 1].astype(jnp.int32), 1)
+    im = sel[ROW_IM : ROW_IM + 1].astype(jnp.int32)
+    depth = sel[ROW_DEPTH : ROW_DEPTH + 1]
+    fields = sel[ROW_FIELDS : ROW_FIELDS + n_render]  # (R, CH)
+    j = sel[-2:-1].astype(jnp.int32)
+    flat = sb + j  # (1, CH)
+
+    # within-run position -> covered tile
+    cumex_sel = _recombine(
+        sel[ROW_CUMEX_HI : ROW_CUMEX_HI + 1],
+        sel[ROW_CUMEX_LO : ROW_CUMEX_LO + 1],
+    )
+    s_row = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    within = s_row - cumex_sel  # (1, CH)
+    q, r = _int_divmod(within, w_rect)
+    ty = tminy + q
+    tx = tminx + r
+    key = im * tiles_per_im + ty * tile_w + tx
+
+    found = sel[-1:] > 0.0  # (1, CH) — selected-count row
+    key = jnp.where(found, jnp.minimum(key, sentinel), sentinel)
+    depth = jnp.where(found, depth, jnp.inf)
+    flat = jnp.where(found, flat, 0)
+
+    key_ref[0:1, :] = key
+    depth_ref[0:1, :] = depth
+    flat_ref[0:1, :] = flat
+    fields_ref[0:n_render, :] = fields * found.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_render", "r_pad", "tile_w", "tiles_per_im",
+                     "sentinel", "k"),
+)
+def expand_emission(
+    table: jax.Array,  # [F_tab, E_pad] f32
+    win_starts: jax.Array,  # [K] int32 (multiples of LANE)
+    n_slots: jax.Array,  # [1] int32
+    *,
+    n_render: int,
+    r_pad: int,
+    tile_w: int,
+    tiles_per_im: int,
+    sentinel: int,
+    k: int,
+):
+    """Expand per-gaussian rows to per-emission-slot keys and fields.
+
+    Returns (tile_key [K*CH] i32, depth [K*CH] f32, flat_id [K*CH] i32,
+    fields [r_pad, K*CH] f32).
+    """
+    F_tab = table.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
+            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
+            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
+            pl.BlockSpec((r_pad, CH), lambda c, *_: (0, c)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F_tab, W_A), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand_kernel,
+        n_render=n_render,
+        tile_w=tile_w,
+        tiles_per_im=tiles_per_im,
+        sentinel=sentinel,
+    )
+    key, depth, flat, fields = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k, CH), jnp.int32),
+            jax.ShapeDtypeStruct((k, CH), jnp.float32),
+            jax.ShapeDtypeStruct((k, CH), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad, k * CH), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(win_starts, n_slots, table)
+    return key.reshape(-1), depth.reshape(-1), flat.reshape(-1), fields
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: monotone row alignment (sorted order -> chunk-aligned order)
+# ---------------------------------------------------------------------------
+
+
+def _align_kernel(
+    # scalar prefetch
+    win_starts_ref,  # [K2] int32 (multiples of LANE)
+    # inputs
+    src_ref,  # (1, CH) int32 source index per output slot (-1 = padding)
+    rows_hbm,  # [F, P_pad] f32 in HBM
+    # outputs
+    out_ref,  # (F, CH)
+    # scratch
+    buf_ref,  # (2, F, W_A)
+    sem,
+):
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    def dma(slot, cc):
+        off = pl.multiple_of(win_starts_ref[cc], LANE)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(off, W_A)], buf_ref.at[slot], sem.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < n_c)
+    def _():
+        dma(1 - slot, c + 1).start()
+
+    dma(slot, c).wait()
+    win = buf_ref[slot]  # (F, W_A)
+
+    rel = src_ref[0, :][:, None] - win_starts_ref[c]  # (CH, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1)
+    onehot = ((rel == jj) & (rel >= 0)).astype(jnp.float32)  # (CH, W)
+    out_ref[:, :] = _sel(win, onehot)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def align_rows(
+    rows: jax.Array,  # [F, P_pad] f32 (field-major, depth-sorted)
+    src_idx: jax.Array,  # [K2, CH] int32 (-1 for padding slots)
+    win_starts: jax.Array,  # [K2] int32 (multiples of LANE)
+    *,
+    k: int,
+):
+    """aligned[f, a] = rows[f, src_idx[a]] (0 for padding) — monotone gather.
+
+    Returns [F, K2*CH] f32.
+    """
+    F = rows.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((F, CH), lambda c, *_: (0, c))],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, W_A), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _align_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((F, k * CH), jnp.float32)],
+        interpret=_interpret(),
+    )(win_starts, src_idx, rows)
+    return out

@@ -96,10 +96,6 @@ def isect_tiles(
     E = I * N
     n_tiles = tile_width * tile_height
     sentinel_key = I * n_tiles
-    # float transport in the packed attribute table is exact below 2**24
-    assert capacity < 2**24 and E < 2**24, (
-        "capacity and I*N must be < 2**24 (float-exact packed transport)"
-    )
 
     m2 = means2d.reshape(E, 2)
     rad = radii.reshape(E, 2).astype(means2d.dtype)
@@ -126,23 +122,25 @@ def isect_tiles(
     # gather-free expansion: slot -> source gaussian
     e = _fill_forward_index(starts, cnt > 0, capacity)
 
-    # one packed row-gather for all per-gaussian attributes
+    # one packed row-gather for all per-gaussian attributes. int32 table:
+    # exact for all values < 2**31; the non-negative depth (culled at the
+    # near plane) bitcasts to int32 losslessly and order-preserving.
     table = jnp.stack(
         [
-            starts.astype(jnp.float32),
-            tmin_x.astype(jnp.float32),
-            tmin_y.astype(jnp.float32),
-            jnp.maximum(w, 1).astype(jnp.float32),
-            dep.astype(jnp.float32),
+            starts,
+            tmin_x,
+            tmin_y,
+            jnp.maximum(w, 1),
+            jax.lax.bitcast_convert_type(dep.astype(jnp.float32), jnp.int32),
         ],
         axis=1,
-    )  # [E, 5]
+    )  # [E, 5] int32
     attrs = table[e]  # [capacity, 5] row gather
-    start_e = attrs[:, 0].astype(jnp.int32)
-    tminx_e = attrs[:, 1].astype(jnp.int32)
-    tminy_e = attrs[:, 2].astype(jnp.int32)
-    w_e = attrs[:, 3].astype(jnp.int32)
-    dep_e = attrs[:, 4]
+    start_e = attrs[:, 0]
+    tminx_e = attrs[:, 1]
+    tminy_e = attrs[:, 2]
+    w_e = attrs[:, 3]
+    dep_e = jax.lax.bitcast_convert_type(attrs[:, 4], jnp.float32)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     live_slot = slots < n_isects
@@ -202,6 +200,7 @@ def build_tile_worklist(
     P = tile_keys.shape[0]
     T = n_tiles_total
     A = _aligned_capacity(P, T, chunk)
+    AC = A // chunk  # aligned chunk count
 
     bounds = jnp.searchsorted(
         tile_keys, jnp.arange(T + 1, dtype=jnp.int32), side="left"
@@ -212,32 +211,30 @@ def build_tile_worklist(
     chunk_cum = jnp.cumsum(n_chunks)  # inclusive
     chunk_starts = chunk_cum - n_chunks
 
-    # aligned slot a -> tile t, gather-free fill-forward
-    aligned_starts = chunk_starts * chunk  # [T], ascending
-    t = _fill_forward_index(aligned_starts, n_chunks > 0, A)
+    # chunk-granular fill-forward (A/chunk elements instead of A — the
+    # per-slot work below is pure [AC, chunk] broadcasting)
+    t = _fill_forward_index(chunk_starts, n_chunks > 0, AC)  # [AC] -> tile
 
-    # small-table row gather for the per-tile attributes
+    # per-chunk attributes: small gathers over [AC]
     ttable = jnp.stack(
-        [
-            aligned_starts.astype(jnp.float32),
-            tile_starts.astype(jnp.float32),
-            tile_counts.astype(jnp.float32),
-        ],
-        axis=1,
-    )  # [T, 3]
-    tat = ttable[t]
-    a_start = tat[:, 0].astype(jnp.int32)
-    t_start = tat[:, 1].astype(jnp.int32)
-    t_count = tat[:, 2].astype(jnp.int32)
+        [chunk_starts * chunk, tile_starts, tile_counts], axis=1
+    )  # [T, 3] int32
+    tat = ttable[t]  # [AC, 3]
+    a_start = tat[:, 0:1]  # aligned start of the owning tile
+    t_start = tat[:, 1:2]
+    t_count = tat[:, 2:3]
 
-    a = jnp.arange(A, dtype=jnp.int32)
+    a = (
+        jnp.arange(AC, dtype=jnp.int32)[:, None] * chunk
+        + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    )  # [AC, chunk]
     within = a - a_start
     valid = within < t_count
     src = jnp.where(valid, t_start + within, 0).astype(jnp.int32)
 
     return TileWorklist(
-        src_idx=src,
-        valid=valid,
+        src_idx=src.reshape(A),
+        valid=valid.reshape(A),
         chunk_starts=chunk_starts.astype(jnp.int32),
         n_chunks=n_chunks.astype(jnp.int32),
         tile_starts=tile_starts,

@@ -1,35 +1,53 @@
 """rasterize_to_pixels: the differentiable tile rasterization op.
 
 Public analog of gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337) with a
-jax.custom_vjp pairing the Pallas forward/backward kernels
-(ops/rasterize_pallas.py). Differences from the CUDA design, by intent:
+jax.custom_vjp around an entirely gather-free TPU pipeline (XLA gathers run
+at per-element speed on TPU — every large reorder here is either a sort or
+a Pallas windowed one-hot MXU selection, see ops/gather_pallas.py):
 
-  * Images are computed in a tiled [n_tiles, D, 256] layout inside the
-    kernels and reassembled here (tile_image/untile_image) — lane-friendly
-    on TPU, one cheap XLA transpose outside.
-  * Background blending, alpha composition, and tile masks happen in plain
-    jnp outside the custom_vjp boundary (autodiff handles them); tile masks
-    zero the per-tile chunk counts so masked tiles cost nothing
-    (reference semantics: masked tiles render pure background with zero
-    alpha — RasterizeToPixels3DGSSerialBatchFwd.cu:141-158).
-  * Gradient accumulation to gaussians avoids atomics AND scatter-adds
-    (both slow on TPU): per-slot gradients are sorted by gaussian id
-    (jax.lax.sort — fast) and reduced with a cumulative-sum difference at
-    the per-gaussian run boundaries. Deterministic, bandwidth-bound.
-  * All reorderings use packed row-gathers (XLA TPU gathers cost per
-    *element*, so one [M, 8] row gather beats eight [M] column gathers).
+  forward:
+    1. emission plan (XLA elementwise + cumsum): per-gaussian tile rects,
+       emission runs, per-chunk source windows. Every gaussian emits
+       max(tiles_covered, 1) slots; culled gaussians emit one sentinel-keyed
+       dummy so windows stay bounded.
+    2. expand_emission (Pallas): per-slot (tile_key, depth, flat_id) +
+       render fields, field-major.
+    3. jax.lax.sort by (tile_key, depth) with the fields as payload — the
+       TPU replacement for the CUB radix sort (IntersectTile.cu:1078).
+    4. tile worklist bounds (cheap searchsorted) + align_rows (Pallas):
+       chunk-aligned per-tile layout [F, A].
+    5. Pallas rasterization forward (ops/rasterize_pallas.py).
+
+  backward:
+    Pallas rasterization backward emits per-slot gradients [F, A]; they are
+    payload-sorted by gaussian id and reduced with a cumulative-sum
+    difference at per-gaussian run boundaries — deterministic, no atomics
+    (a correctness upgrade over the CUDA atomicAdd path).
+
+Images are computed in a tiled [n_tiles, D, 256] layout inside the kernels
+and reassembled here (tile_image/untile_image); background blending and
+alpha composition happen in plain jnp outside the custom_vjp (autodiff).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .isect import Isects, TileWorklist, build_tile_worklist
+from .gather_pallas import (
+    CH,
+    LANE,
+    W_A,
+    _hi_lo,
+    _recombine,
+    align_rows,
+    expand_emission,
+)
+from .isect import build_tile_worklist
 from .rasterize_pallas import DEFAULT_CHUNK, N_PIX, TILE, _bwd_call, _fwd_call
 
 
@@ -55,131 +73,265 @@ def untile_image(
     return x.reshape(I, th * ts, tw * ts, D)[:, :H, :W]
 
 
-def _bitcast_f32(i: jax.Array) -> jax.Array:
-    """int32 -> f32 for packed row-gather transport.
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    NOT a bitcast: TPU vector units flush denormal floats to zero, and small
-    int bit patterns are denormals. Plain conversion is exact for
-    |i| < 2**24, which callers must guarantee.
+
+class EmissionPlan(NamedTuple):
+    """Static-shape tile-emission layout (all int32, non-differentiable).
+
+    Parity for the counting pass of gsplat/cuda/csrc/IntersectTile.cu:96-213
+    (AABB coverage, matching _torch_impl.py:_isect_tiles) plus the TPU
+    additions: min-one-emission runs and per-chunk source windows.
     """
-    return i.astype(jnp.float32)
+
+    cnt: jax.Array  # [E] real tile count (0 for culled)
+    cum_ex: jax.Array  # [E] exclusive cumsum of max(cnt, 1)
+    cum_in: jax.Array  # [E] inclusive cumsum of max(cnt, 1)
+    tminx: jax.Array  # [E]
+    tminy: jax.Array  # [E]
+    w_rect: jax.Array  # [E] (>= 1)
+    im: jax.Array  # [E] image id (== I for culled -> sentinel keys)
+    win_starts: jax.Array  # [K] source window base rows (LANE-aligned)
+    n_slots: jax.Array  # [] emission slots incl. dummies (<= cap_total)
+    n_isects: jax.Array  # [] real intersections (pre-truncation)
+    overflow: jax.Array  # [] bool
 
 
-def _bitcast_i32(f: jax.Array) -> jax.Array:
-    return f.astype(jnp.int32)
+def make_emission_plan(
+    means2d: jax.Array,  # [I, N, 2]
+    radii: jax.Array,  # [I, N, 2] int32
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    cap_total: int,
+) -> EmissionPlan:
+    I, N = means2d.shape[0], means2d.shape[1]
+    E = I * N
+    m2 = jax.lax.stop_gradient(means2d).reshape(E, 2)
+    rad = radii.reshape(E, 2)
+
+    tmean = m2 / tile_size
+    trad = rad.astype(m2.dtype) / tile_size
+    tmin = jnp.floor(tmean - trad).astype(jnp.int32)
+    tmax = jnp.ceil(tmean + trad).astype(jnp.int32)
+    tminx = jnp.clip(tmin[:, 0], 0, tile_width)
+    tminy = jnp.clip(tmin[:, 1], 0, tile_height)
+    tmaxx = jnp.clip(tmax[:, 0], 0, tile_width)
+    tmaxy = jnp.clip(tmax[:, 1], 0, tile_height)
+    w = tmaxx - tminx
+    h = tmaxy - tminy
+    alive = (rad > 0).all(axis=-1) & (w > 0) & (h > 0)
+    cnt = jnp.where(alive, w * h, 0).astype(jnp.int32)
+
+    cnt_p = jnp.maximum(cnt, 1)  # culled gaussians emit one dummy slot
+    cum_in = jnp.cumsum(cnt_p).astype(jnp.int32)
+    cum_ex = cum_in - cnt_p
+    total = cum_in[-1]
+    n_isects = jnp.sum(cnt).astype(jnp.int32)
+    overflow = total > cap_total
+    n_slots = jnp.minimum(total, cap_total)
+
+    e_ids = jnp.arange(E, dtype=jnp.int32)
+    im = jnp.where(alive, e_ids // N, I).astype(jnp.int32)
+    tminx = jnp.where(alive, tminx, 0)
+    tminy = jnp.where(alive, tminy, 0)
+    w_rect = jnp.where(alive, jnp.maximum(w, 1), 1).astype(jnp.int32)
+
+    K = cap_total // CH
+    probes = jnp.arange(K, dtype=jnp.int32) * CH
+    first = jnp.searchsorted(cum_in, probes, side="right").astype(jnp.int32)
+    win = (first // LANE) * LANE
+    win = jnp.clip(win, 0, E + W_A - W_A)  # E_pad = E + W_A
+
+    return EmissionPlan(
+        cnt=cnt, cum_ex=cum_ex, cum_in=cum_in, tminx=tminx, tminy=tminy,
+        w_rect=w_rect, im=im, win_starts=win, n_slots=n_slots,
+        n_isects=n_isects, overflow=overflow,
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _pad_tail(x: jax.Array, n: int, value) -> jax.Array:
+    return jnp.concatenate([x, jnp.full((n,), value, x.dtype)])
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18)
+)
 def _rasterize_core(
-    m2f,  # [I*N, 2]
-    cnf,  # [I*N, 3]
-    clf,  # [I*N, D]
-    opf,  # [I*N]
-    m2abs,  # [I*N, 2] absgrad carrier (value unused; cotangent = abs grads)
-    ids_data,  # [A] int32 gaussian flat id per aligned slot (0 for padding)
-    slot_valid,  # [A] bool
-    chunk_starts,  # [T] int32 (units of chunks)
-    n_chunks,  # [T] int32
-    gauss_bounds,  # [I*N, 2] int32 (start, end) emission run per gaussian
-    chunk: int,
+    m2f,  # [E, 2]
+    cnf,  # [E, 3]
+    clf,  # [E, D]
+    opf,  # [E]
+    m2abs,  # [E, 2] absgrad carrier (value unused; cotangent = abs grads)
+    depthf,  # [E] (non-diff sort key; stop_gradient'ed by callers)
+    cnt, cum_ex, cum_in, rect_rows,  # plan arrays (int32)
+    win_starts, n_slots_arr,  # [K], [1]
+    cap_total: int,
     n_channels: int,
-    tiles_w: int,
-    tiles_per_image: int,
-    image_size: Tuple[int, int],  # (width, height)
+    tile_width: int,
+    tile_height: int,
+    n_images: int,
+    image_size: Tuple[int, int],
     absgrad: bool,
 ):
     out, _ = _core_fwd(
-        m2f, cnf, clf, opf, m2abs, ids_data, slot_valid, chunk_starts,
-        n_chunks, gauss_bounds, chunk, n_channels, tiles_w, tiles_per_image,
-        image_size, absgrad,
+        m2f, cnf, clf, opf, m2abs, depthf, cnt, cum_ex, cum_in, rect_rows,
+        win_starts, n_slots_arr, cap_total, n_channels, tile_width,
+        tile_height, n_images, image_size, absgrad,
     )
     return out
 
 
 def _core_fwd(
-    m2f, cnf, clf, opf, m2abs, ids_data, slot_valid, chunk_starts, n_chunks,
-    gauss_bounds,
-    chunk, n_channels, tiles_w, tiles_per_image, image_size, absgrad,
+    m2f, cnf, clf, opf, m2abs, depthf, cnt, cum_ex, cum_in, rect_rows,
+    win_starts, n_slots_arr,
+    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
+    absgrad,
 ):
     width, height = image_size
     D = n_channels
-    # one packed row-gather builds the aligned worklist; transpose to
-    # field-major [F_pad, A] for the kernel's 128-lane DMA chunks
-    data_flat = jnp.concatenate(
-        [m2f, cnf, opf[:, None], clf], axis=1
-    )  # [I*N, 6+D]
-    F = data_flat.shape[1]
-    F_pad = -(-F // 8) * 8
-    data_flat = jnp.pad(data_flat, ((0, 0), (0, F_pad - F)))
-    rows = data_flat[ids_data]  # [A, F_pad] row gather
-    # zero the opacity of padding slots so they contribute nothing
-    op_col = jnp.where(slot_valid, rows[:, 5], 0.0)
-    rows = jnp.concatenate([rows[:, :5], op_col[:, None], rows[:, 6:]], axis=1)
-    isect_data = rows.T  # [F_pad, A]
+    E = m2f.shape[0]
+    R = 6 + D  # render fields: x, y, ca, cb, cc, op, colors
+    r_pad = _round_up(R, 8)
+    T = n_images * tile_width * tile_height
+    sentinel = T
+    K = cap_total // CH
 
-    pix_out, t_final = _fwd_call(
-        isect_data, chunk_starts, n_chunks,
-        chunk=chunk, n_channels=n_channels, tiles_w=tiles_w,
-        tiles_per_image=tiles_per_image, width=width, height=height,
-        n_tiles=int(chunk_starts.shape[0]),
+    # --- table assembly (stacked rows; pad rows make comparisons fail by
+    # carrying an empty run: cum_ex == cum_in == total) ---
+    exh, exl = _hi_lo(cum_ex)
+    inh, inl = _hi_lo(cum_in)
+    tot_hi, tot_lo = _hi_lo(cum_in[-1:])
+    pad_hi = jnp.broadcast_to(tot_hi, (W_A,))
+    pad_lo = jnp.broadcast_to(tot_lo, (W_A,))
+    f32 = lambda v: v.astype(jnp.float32)
+    rows = [
+        jnp.concatenate([exh, pad_hi]), jnp.concatenate([exl, pad_lo]),
+        jnp.concatenate([inh, pad_hi]), jnp.concatenate([inl, pad_lo]),
+        _pad_tail(f32(rect_rows[0]), W_A, 0.0),  # tminx
+        _pad_tail(f32(rect_rows[1]), W_A, 0.0),  # tminy
+        _pad_tail(f32(rect_rows[2]), W_A, 1.0),  # w_rect
+        _pad_tail(f32(rect_rows[3]), W_A, float(n_images)),  # im
+        _pad_tail(depthf, W_A, 0.0),
+        _pad_tail(m2f[:, 0], W_A, 0.0), _pad_tail(m2f[:, 1], W_A, 0.0),
+        _pad_tail(cnf[:, 0], W_A, 0.0), _pad_tail(cnf[:, 1], W_A, 0.0),
+        _pad_tail(cnf[:, 2], W_A, 0.0), _pad_tail(opf, W_A, 0.0),
+    ] + [_pad_tail(clf[:, i], W_A, 0.0) for i in range(D)]
+    F_tab = _round_up(len(rows), 8)
+    table = jnp.stack(
+        rows + [jnp.zeros_like(rows[0])] * (F_tab - len(rows))
+    )  # [F_tab, E + W_A]
+
+    # --- Pallas expansion -> sort keys + fields per emission slot ---
+    keys, depth_keys, flat_ids, fields = expand_emission(
+        table, win_starts, n_slots_arr,
+        n_render=R, r_pad=r_pad, tile_w=tile_width,
+        tiles_per_im=tile_width * tile_height, sentinel=sentinel, k=K,
     )
+
+    # --- depth sort with field payload (the CUB radix sort analog) ---
+    operands = (keys, depth_keys, flat_ids) + tuple(
+        fields[i] for i in range(R)
+    )
+    s = jax.lax.sort(operands, num_keys=2, is_stable=True)
+    keys_s, _, flat_s = s[0], s[1], s[2]
+    fields_s = s[3:]
+
+    # --- per-tile chunk-aligned worklist ---
+    wl = build_tile_worklist(keys_s, T, DEFAULT_CHUNK)
+    A = wl.src_idx.shape[0]
+    A2 = _round_up(A, CH)
+    K2 = A2 // CH
+    src = jnp.where(wl.valid, wl.src_idx, -1)
+    src = _pad_tail(src, A2 - A, -1).reshape(K2, CH)
+    win2 = jnp.min(jnp.where(src >= 0, src, 2**30), axis=1)
+    win2 = jnp.clip((win2 // LANE) * LANE, 0, cap_total + W_A - W_A)
+
+    idh, idl = _hi_lo(flat_s)
+    stack_rows = list(fields_s) + [idh, idl]
+    F_s = _round_up(len(stack_rows), 8)
+    stack_rows += [jnp.zeros_like(idh)] * (F_s - len(stack_rows))
+    sorted_rows = jnp.stack(
+        [_pad_tail(r, W_A, 0.0) for r in stack_rows]
+    )  # [F_s, cap_total + W_A]
+
+    aligned = align_rows(sorted_rows, src, win2, k=K2)[:, :A]  # [F_s, A]
+
+    # --- rasterize ---
+    n_tiles = T
+    pix_out, t_final = _fwd_call(
+        aligned, wl.chunk_starts, wl.n_chunks,
+        chunk=DEFAULT_CHUNK, n_channels=D, tiles_w=tile_width,
+        tiles_per_image=tile_width * tile_height, width=width, height=height,
+        n_tiles=n_tiles,
+    )
+
+    ids_aligned = _recombine(aligned[R], aligned[R + 1])  # [A]
     res = (
-        isect_data, ids_data, slot_valid, chunk_starts, n_chunks,
-        gauss_bounds, pix_out, t_final,
+        aligned, ids_aligned, wl.valid, wl.chunk_starts, wl.n_chunks,
+        cnt, cum_ex, n_slots_arr, pix_out, t_final,
     )
     return (pix_out, t_final), res
 
 
 def _core_bwd(
-    chunk, n_channels, tiles_w, tiles_per_image, image_size, absgrad, res, cts
+    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
+    absgrad, res, cts,
 ):
     (
-        isect_data, ids_data, slot_valid, chunk_starts, n_chunks,
-        gauss_bounds, pix_out, t_final,
+        aligned, ids_aligned, valid, chunk_starts, n_chunks,
+        cnt, cum_ex, n_slots_arr, pix_out, t_final,
     ) = res
     v_pix, v_tfinal = cts
     width, height = image_size
     D = n_channels
-    A = ids_data.shape[0]
-    IN = gauss_bounds.shape[0]
+    A = ids_aligned.shape[0]
+    E = cnt.shape[0]
+    T = n_images * tile_width * tile_height
 
     (v_aligned,) = _bwd_call(
-        isect_data, chunk_starts, n_chunks, v_pix, v_tfinal, pix_out, t_final,
-        chunk=chunk, n_channels=n_channels, tiles_w=tiles_w,
-        tiles_per_image=tiles_per_image, width=width, height=height,
-        n_tiles=int(chunk_starts.shape[0]),
-    )  # [F_pad, A] per-slot gradients, field-major
+        aligned, chunk_starts, n_chunks, v_pix, v_tfinal, pix_out, t_final,
+        chunk=DEFAULT_CHUNK, n_channels=D, tiles_w=tile_width,
+        tiles_per_image=tile_width * tile_height, width=width, height=height,
+        n_tiles=T,
+    )  # [F_s, A] per-slot grads, field-major (rows 0..5+D live)
 
-    # Deterministic per-gaussian reduction without scatters:
-    # sort aligned slots by gaussian id (padding slots get id IN and sort
-    # last), then each gaussian's slots form the contiguous run
-    # gauss_bounds[e] — reduce with a cumsum difference at the boundaries.
-    ids_sort = jnp.where(slot_valid, ids_data, IN)
-    _, perm = jax.lax.sort(
-        (ids_sort, jnp.arange(A, dtype=jnp.int32)), num_keys=1, is_stable=True
-    )
-    v_rows = v_aligned.T[perm][:, : 6 + D]  # [A, 6+D] row gather
+    # deterministic reduction: payload-sort slots by gaussian id, then a
+    # cumsum difference at per-gaussian run boundaries
+    ids_sort = jnp.where(valid, ids_aligned, E)
+    operands = (ids_sort,) + tuple(v_aligned[i] for i in range(6 + D))
+    s = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    v_rows = jnp.stack(s[1:], axis=1)  # [A, 6+D]
     if absgrad:
-        # per-tile |v_means2d| reduced alongside (AbsGS, arXiv:2404.10484;
-        # same tile granularity as the reference's warp-reduced atomics)
         v_rows = jnp.concatenate([v_rows, jnp.abs(v_rows[:, 0:2])], axis=1)
-    W = v_rows.shape[1]
+    Wc = v_rows.shape[1]
     cs = jnp.concatenate(
-        [jnp.zeros((1, W), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
-    )  # [A+1, W]
-    v_gauss = cs[gauss_bounds[:, 1]] - cs[gauss_bounds[:, 0]]  # [I*N, W]
+        [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
+    )  # [A+1, Wc]
+
+    # per-gaussian valid-slot runs: real emissions clamped by truncation
+    n_slots = n_slots_arr[0]
+    vrc = jnp.clip(jnp.minimum(cum_ex + cnt, n_slots) - cum_ex, 0, cnt)
+    ends = jnp.cumsum(vrc).astype(jnp.int32)
+    starts = ends - vrc
+    v_gauss = cs[ends] - cs[starts]  # [E, Wc]
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]
     v_op = v_gauss[:, 5]
     v_cl = v_gauss[:, 6 : 6 + D]
-    v_m2abs = v_gauss[:, 6 + D :] if absgrad else jnp.zeros((IN, 2), v_m2.dtype)
+    v_m2abs = (
+        v_gauss[:, 6 + D :] if absgrad else jnp.zeros((E, 2), v_m2.dtype)
+    )
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zero_depth = jnp.zeros((E,), v_m2.dtype)
     return (
-        v_m2, v_cn, v_cl, v_op, v_m2abs,
-        f0(ids_data), f0(slot_valid), f0(chunk_starts), f0(n_chunks),
-        f0(gauss_bounds),
+        v_m2, v_cn, v_cl, v_op, v_m2abs, zero_depth,
+        f0(cnt), f0(cum_ex), f0(cum_ex), f0(jnp.zeros((4, E), jnp.int32)),
+        f0(jnp.zeros((cap_total // CH,), jnp.int32)),
+        f0(jnp.zeros((1,), jnp.int32)),
     )
 
 
@@ -193,90 +345,55 @@ def rasterize_to_pixels(
     opacities: jax.Array,  # [I, N]
     image_width: int,
     image_height: int,
-    isects: Isects,
-    worklist: Optional[TileWorklist] = None,
+    radii: jax.Array,  # [I, N, 2] int32 (0 = culled)
+    depths: jax.Array,  # [I, N]
+    isect_capacity: int,
     backgrounds: Optional[jax.Array] = None,  # [I, D]
     masks: Optional[jax.Array] = None,  # [I, th, tw] bool
     tile_size: int = TILE,
-    chunk: int = DEFAULT_CHUNK,
     absgrad: bool = False,
     means2d_abs: Optional[jax.Array] = None,  # [I, N, 2] absgrad carrier
-) -> Tuple[jax.Array, jax.Array]:
-    """Rasterize depth-sorted gaussians to images.
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Rasterize projected gaussians to images (sorting included).
 
-    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1]).
-    Parity: gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337). The Pallas
-    path currently requires tile_size == 16.
+    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], aux)
+    with aux = {n_isects, isect_overflow, tiles_per_gauss}. `isect_capacity`
+    bounds the REAL intersections; the internal buffer adds one dummy slot
+    per gaussian (static shapes). Parity:
+    gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337) + isect_tiles.
     """
     assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
-    assert chunk % 128 == 0, "chunk must be a multiple of 128 (DMA lane width)"
-    assert isects.tile_keys.shape[0] % chunk == 0, (
-        "isect capacity must be a multiple of chunk"
-    )
     I, N = means2d.shape[0], means2d.shape[1]
+    E = I * N
     D = colors.shape[-1]
-    P = isects.tile_keys.shape[0]
-    assert I * N < 2**24, (
-        "float transport of gaussian ids requires I*N < 2**24; "
-        "use channel/image chunking for larger workloads"
-    )
     th = -(-image_height // tile_size)
     tw = -(-image_width // tile_size)
     T = I * th * tw
+    cap_total = _round_up(isect_capacity + E, CH)
 
-    if worklist is None:
-        worklist = build_tile_worklist(isects.tile_keys, T, chunk)
-    assert worklist.chunk_starts.shape[0] == T, (
-        "worklist was built for a different tile grid"
+    plan = make_emission_plan(
+        means2d, radii, tile_size, tw, th, cap_total
     )
 
-    n_chunks = worklist.n_chunks
-    if masks is not None:
-        n_chunks = jnp.where(masks.reshape(T), n_chunks, 0)
-
-    # transport sorted flatten ids to aligned order with one packed
-    # row-gather (bit-exact via bitcast; column gathers are slow on TPU)
-    sorted_pack = jnp.stack(
-        [
-            _bitcast_f32(isects.flatten_ids),
-            isects.depth_keys,
-            _bitcast_f32(isects.tile_keys),
-            jnp.zeros_like(isects.depth_keys),
-        ],
-        axis=1,
-    )  # [P, 4]
-    aligned_pack = sorted_pack[worklist.src_idx]  # [A, 4]
-    ids_raw = _bitcast_i32(aligned_pack[:, 0])
-    ids_data = jnp.where(worklist.valid, ids_raw, 0)
-
-    # per-gaussian emission-run boundaries (for the backward reduction),
-    # clamped for capacity overflow
-    cnt = isects.tiles_per_gauss.reshape(I * N)
-    cum = jnp.cumsum(cnt)
-    n_live = jnp.minimum(isects.n_isects, P)
-    ends = jnp.minimum(cum, n_live)
-    starts = jnp.minimum(cum - cnt, n_live)
-    gauss_bounds = jnp.stack([starts, ends], axis=1).astype(jnp.int32)
-
     if means2d_abs is None:
-        means2d_abs = jnp.zeros((I * N, 2), means2d.dtype)
+        means2d_abs = jnp.zeros((E, 2), means2d.dtype)
+
+    rect_rows = jnp.stack([plan.tminx, plan.tminy, plan.w_rect, plan.im])
+
+    # tile masks enter through the worklist chunk counts — but those are
+    # computed inside the core; thread them via opacity zeroing instead:
+    # masked tiles must render pure background with zero alpha
+    # (Fwd.cu:141-158), which the outer mask application below guarantees.
     pix_out, t_final = _rasterize_core(
-        means2d.reshape(I * N, 2),
-        conics.reshape(I * N, 3),
-        colors.reshape(I * N, D),
-        opacities.reshape(I * N),
-        means2d_abs.reshape(I * N, 2),
-        ids_data,
-        worklist.valid,
-        worklist.chunk_starts,
-        n_chunks,
-        gauss_bounds,
-        chunk,
-        D,
-        tw,
-        th * tw,
-        (image_width, image_height),
-        absgrad,
+        means2d.reshape(E, 2),
+        conics.reshape(E, 3),
+        colors.reshape(E, D),
+        opacities.reshape(E),
+        means2d_abs.reshape(E, 2),
+        jax.lax.stop_gradient(depths).reshape(E),
+        plan.cnt, plan.cum_ex, plan.cum_in, rect_rows,
+        plan.win_starts, plan.n_slots.reshape(1),
+        cap_total, D, tw, th, I, (image_width, image_height), absgrad,
     )
 
     render = untile_image(pix_out, I, th, tw, image_height, image_width)
@@ -284,4 +401,22 @@ def rasterize_to_pixels(
     render_alphas = 1.0 - t_img
     if backgrounds is not None:
         render = render + t_img * backgrounds[:, None, None, :]
-    return render, render_alphas
+    if masks is not None:
+        # masked-off tiles show pure background with zero alpha
+        mpix = jnp.repeat(
+            jnp.repeat(masks, tile_size, axis=1), tile_size, axis=2
+        )[:, :image_height, :image_width, None]
+        bg = (
+            backgrounds[:, None, None, :]
+            if backgrounds is not None
+            else jnp.zeros((I, 1, 1, D), render.dtype)
+        )
+        render = jnp.where(mpix, render, bg)
+        render_alphas = jnp.where(mpix, render_alphas, 0.0)
+
+    aux = {
+        "n_isects": plan.n_isects,
+        "isect_overflow": plan.overflow,
+        "tiles_per_gauss": plan.cnt.reshape(I, N),
+    }
+    return render, render_alphas, aux

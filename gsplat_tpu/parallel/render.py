@@ -203,12 +203,12 @@ def rasterization_sharded(
         if bg_le.shape[-1] < D_out:
             bg_le = jnp.pad(bg_le, ((0, 0), (0, D_out - bg_le.shape[-1])))
 
-        render, alphas, isects = render_projected(
+        render, alphas, aux = render_projected(
             means2d_e, conics_e, feats_e, op_e, radii_e, depths_e,
             width, height, tile_size, isect_capacity,
             backgrounds=bg_le,
         )
-        return render, alphas, isects.n_isects[None], isects.overflow[None]
+        return render, alphas, aux["n_isects"][None], aux["isect_overflow"][None]
 
     in_specs = (
         P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),

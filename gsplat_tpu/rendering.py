@@ -27,7 +27,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.isect import build_tile_worklist, isect_offset_encode, isect_tiles
 from .ops.projection import fully_fused_projection
 from .ops.rasterize import rasterize_to_pixels
 from .ops.rasterize_pallas import DEFAULT_CHUNK, TILE
@@ -91,32 +90,24 @@ def render_projected(
     The post-projection tail shared by the single-process `rasterization()`
     and the SPMD path (which exchanges projected splats between shards
     first — the analog of Rendering.cpp:1289-1331's distributed scatter).
-    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], isects).
+    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], aux).
     """
-    I = means2d_f.shape[0]
-    th = -(-height // tile_size)
-    tw = -(-width // tile_size)
-    isect_capacity = _round_up(isect_capacity, DEFAULT_CHUNK)
-    isects = isect_tiles(
-        means2d_f, radii_f, depths_f, tile_size, tw, th, isect_capacity
-    )
-    worklist = build_tile_worklist(isects.tile_keys, I * th * tw, DEFAULT_CHUNK)
-    render_colors, render_alphas = rasterize_to_pixels(
+    return rasterize_to_pixels(
         means2d_f,
         conics_f,
         feats_f,
         op_f,
         width,
         height,
-        isects,
-        worklist=worklist,
+        radii_f,
+        depths_f,
+        isect_capacity,
         backgrounds=backgrounds,
         masks=masks,
         tile_size=tile_size,
         absgrad=absgrad,
         means2d_abs=means2d_abs,
     )
-    return render_colors, render_alphas, isects
 
 
 def rasterization(
@@ -266,7 +257,7 @@ def rasterization(
         else:
             m2_render = means2d_f + off  # cotangent = true screen grads
 
-    render_colors, render_alphas, isects = render_projected(
+    render_colors, render_alphas, aux = render_projected(
         m2_render,
         conics_f,
         feats_f,
@@ -304,21 +295,21 @@ def rasterization(
         "opacities": op.reshape(batch_dims + (C, N)),
         "tile_width": tw,
         "tile_height": th,
-        "tiles_per_gauss": isects.tiles_per_gauss.reshape(
+        "tiles_per_gauss": aux["tiles_per_gauss"].reshape(
             batch_dims + (C, N)
         ),
-        "isect_ids": isects.tile_keys,
-        "flatten_ids": isects.flatten_ids,
-        "isect_offsets": isect_offset_encode(
-            isects.tile_keys, I, tw, th
-        ).reshape(batch_dims + (C, th, tw)),
+        # the sorted intersection list lives inside the fused op; use
+        # ops.isect_tiles directly if sorted ids are needed externally
+        "isect_ids": None,
+        "flatten_ids": None,
+        "isect_offsets": None,
         "width": width,
         "height": height,
         "tile_size": tile_size,
         "n_batches": B,
         "n_cameras": C,
-        "n_isects": isects.n_isects,
-        "isect_overflow": isects.overflow,
+        "n_isects": aux["n_isects"],
+        "isect_overflow": aux["isect_overflow"],
         "isect_capacity": isect_capacity,
     }
     return render_colors, render_alphas, meta

@@ -43,6 +43,7 @@ def scene():
             jnp.asarray(means2d), jnp.asarray(conics),
             jnp.asarray(colors), jnp.asarray(opacities),
         ),
+        radii=jnp.asarray(radii), depths=jnp.asarray(depths),
         W=W, H=H, ts=ts, tw=tw, th=th, isect=isect, offsets=offsets, rng=rng,
     )
 
@@ -56,9 +57,11 @@ def _ref(s, *args, bg=None):
 
 
 def _pal(s, *args, bg=None, masks=None):
-    return rasterize_to_pixels(
-        *args, s["W"], s["H"], s["isect"], backgrounds=bg, masks=masks
+    c, a, _aux = rasterize_to_pixels(
+        *args, s["W"], s["H"], s["radii"], s["depths"], 2048,
+        backgrounds=bg, masks=masks,
     )
+    return c, a
 
 
 def test_forward_matches_oracle(scene):
@@ -123,8 +126,10 @@ def test_empty_input(scene):
     op = jnp.zeros((1, 8))
     radii = jnp.zeros((1, 8, 2), jnp.int32)
     dep = jnp.ones((1, 8))
-    isect = isect_tiles(m2, radii, dep, 16, s["tw"], s["th"], capacity=128)
-    c, a = rasterize_to_pixels(m2, cn, cl, op, s["W"], s["H"], isect)
+    c, a, aux = rasterize_to_pixels(
+        m2, cn, cl, op, s["W"], s["H"], radii, dep, 128
+    )
+    assert int(aux["n_isects"]) == 0
     assert (np.asarray(c) == 0).all()
     assert (np.asarray(a) == 0).all()
 
