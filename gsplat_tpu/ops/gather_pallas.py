@@ -114,10 +114,7 @@ def _expand_kernel(
     # inputs
     table_hbm,  # [F_tab, E_pad] f32 in HBM
     # outputs
-    key_ref,  # (1, CH) int32
-    depth_ref,  # (1, CH) f32
-    flat_ref,  # (1, CH) int32
-    fields_ref,  # (R_pad, CH) f32
+    fields_ref,  # (R_pad, CH) f32; rows R..R+4 carry key/flat hi-lo + depth
     # scratch
     buf_ref,  # (2, F_tab, W_A) VMEM
     sem,  # (2,) DMA semaphores
@@ -163,7 +160,7 @@ def _expand_kernel(
     # one MXU pass selects every per-slot attribute (bit-exact); an extra
     # iota row recovers the selected source index j (< W_A < 2**24: exact)
     # and a ones row recovers the per-slot hit count (the "found" mask)
-    jf = jax.lax.broadcasted_iota(jnp.float32, (1, W_A), 1)
+    jf = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1).astype(jnp.float32)
     ones = jnp.ones((1, W_A), jnp.float32)
     sel = _sel(jnp.concatenate([win, jf, ones], axis=0), onehot)
     tminx = sel[ROW_TMINX : ROW_TMINX + 1].astype(jnp.int32)  # (1, CH)
@@ -192,10 +189,13 @@ def _expand_kernel(
     depth = jnp.where(found, depth, jnp.inf)
     flat = jnp.where(found, flat, 0)
 
-    key_ref[0:1, :] = key
-    depth_ref[0:1, :] = depth
-    flat_ref[0:1, :] = flat
     fields_ref[0:n_render, :] = fields * found.astype(jnp.float32)
+    R = n_render
+    fields_ref[R : R + 1, :] = (key >> 12).astype(jnp.float32)
+    fields_ref[R + 1 : R + 2, :] = (key & 0xFFF).astype(jnp.float32)
+    fields_ref[R + 2 : R + 3, :] = (flat >> 12).astype(jnp.float32)
+    fields_ref[R + 3 : R + 4, :] = (flat & 0xFFF).astype(jnp.float32)
+    fields_ref[R + 4 : R + 5, :] = depth
 
 
 @functools.partial(
@@ -221,14 +221,12 @@ def expand_emission(
     fields [r_pad, K*CH] f32).
     """
     F_tab = table.shape[0]
+    assert r_pad >= n_render + 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(k,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
-            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
-            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
             pl.BlockSpec((r_pad, CH), lambda c, *_: (0, c)),
         ],
         scratch_shapes=[
@@ -243,18 +241,19 @@ def expand_emission(
         tiles_per_im=tiles_per_im,
         sentinel=sentinel,
     )
-    key, depth, flat, fields = pl.pallas_call(
+    (fields,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((k, CH), jnp.int32),
-            jax.ShapeDtypeStruct((k, CH), jnp.float32),
-            jax.ShapeDtypeStruct((k, CH), jnp.int32),
             jax.ShapeDtypeStruct((r_pad, k * CH), jnp.float32),
         ],
         interpret=_interpret(),
     )(win_starts, n_slots, table)
-    return key.reshape(-1), depth.reshape(-1), flat.reshape(-1), fields
+    R = n_render
+    key = _recombine(fields[R], fields[R + 1])
+    flat = _recombine(fields[R + 2], fields[R + 3])
+    depth = fields[R + 4]
+    return key, depth, flat, fields
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +265,7 @@ def _align_kernel(
     # scalar prefetch
     win_starts_ref,  # [K2] int32 (multiples of LANE)
     # inputs
-    src_ref,  # (1, CH) int32 source index per output slot (-1 = padding)
+    src_ref,  # (8, CH) int32: 8 chunks' source indices (-1 = padding)
     rows_hbm,  # [F, P_pad] f32 in HBM
     # outputs
     out_ref,  # (F, CH)
@@ -296,7 +295,8 @@ def _align_kernel(
     dma(slot, c).wait()
     win = buf_ref[slot]  # (F, W_A)
 
-    rel = src_ref[0, :][:, None] - win_starts_ref[c]  # (CH, 1)
+    src_row = src_ref[pl.ds(jax.lax.rem(c, 8), 1), :]  # (1, CH)
+    rel = jnp.transpose(src_row, (1, 0)) - win_starts_ref[c]  # (CH, 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1)
     onehot = ((rel == jj) & (rel >= 0)).astype(jnp.float32)  # (CH, W)
     out_ref[:, :] = _sel(win, onehot)
@@ -315,11 +315,16 @@ def align_rows(
     Returns [F, K2*CH] f32.
     """
     F = rows.shape[0]
+    k8 = _round_up_int(k, 8)
+    if k8 != k:  # pad chunk rows so the (8, CH) src blocks stay in range
+        src_idx = jnp.concatenate(
+            [src_idx, jnp.full((k8 - k, CH), -1, src_idx.dtype)]
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, CH), lambda c, *_: (c, 0)),
+            pl.BlockSpec((8, CH), lambda c, *_: (c // 8, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec((F, CH), lambda c, *_: (0, c))],
@@ -335,3 +340,7 @@ def align_rows(
         interpret=_interpret(),
     )(win_starts, src_idx, rows)
     return out
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return -(-x // m) * m

@@ -193,7 +193,7 @@ def _core_fwd(
     D = n_channels
     E = m2f.shape[0]
     R = 6 + D  # render fields: x, y, ca, cb, cc, op, colors
-    r_pad = _round_up(R, 8)
+    r_pad = _round_up(R + 5, 8)  # +5: key/flat hi-lo pairs + depth rows
     T = n_images * tile_width * tile_height
     sentinel = T
     K = cap_total // CH

@@ -1,0 +1,121 @@
+"""Loss parity tests vs torch reference formulas (torch CPU available)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gsplat_tpu import losses
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 37, 45, 3)).astype(np.float32)
+    b = rng.random((2, 37, 45, 3)).astype(np.float32)
+    return a, b
+
+
+def _torch_ssim(img1_np, img2_np, window_size=11):
+    """Textbook SSIM (Wang et al. 2004) with a sigma-1.5 Gaussian window,
+    matching the reference's torch_ssim_loss formulation."""
+    img1 = torch.from_numpy(img1_np).permute(0, 3, 1, 2)
+    img2 = torch.from_numpy(img2_np).permute(0, 3, 1, 2)
+    C = img1.shape[1]
+    xs = torch.arange(window_size, dtype=torch.float64) - window_size // 2
+    g = torch.exp(-(xs**2) / (2 * 1.5**2))
+    g = (g / g.sum()).float()
+    w2d = (g[:, None] @ g[None, :])[None, None].expand(C, 1, -1, -1)
+    pad = window_size // 2
+    mu1 = F.conv2d(img1, w2d, padding=pad, groups=C)
+    mu2 = F.conv2d(img2, w2d, padding=pad, groups=C)
+    s1 = F.conv2d(img1 * img1, w2d, padding=pad, groups=C) - mu1**2
+    s2 = F.conv2d(img2 * img2, w2d, padding=pad, groups=C) - mu2**2
+    s12 = F.conv2d(img1 * img2, w2d, padding=pad, groups=C) - mu1 * mu2
+    C1, C2 = 0.01**2, 0.03**2
+    m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1**2 + mu2**2 + C1) * (s1 + s2 + C2)
+    )
+    return m.mean().item()
+
+
+def test_ssim_matches_torch(imgs):
+    a, b = imgs
+    ours = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = _torch_ssim(a, b)
+    assert abs(ours - ref) < 1e-5, (ours, ref)
+
+
+def test_ssim_identical_images(imgs):
+    a, _ = imgs
+    assert abs(float(losses.ssim(jnp.asarray(a), jnp.asarray(a))) - 1.0) < 1e-6
+    assert float(losses.ssim_loss(jnp.asarray(a), jnp.asarray(a))) < 1e-6
+
+
+def test_l1_mse(imgs):
+    a, b = imgs
+    assert abs(
+        float(losses.l1_loss(jnp.asarray(a), jnp.asarray(b)))
+        - np.abs(a - b).mean()
+    ) < 1e-6
+    assert abs(
+        float(losses.mse_loss(jnp.asarray(a), jnp.asarray(b)))
+        - ((a - b) ** 2).mean()
+    ) < 1e-6
+
+
+def test_depth_l1_disparity():
+    pred = jnp.asarray([[2.0, 0.0], [4.0, 1.0]])
+    gt = jnp.asarray([[1.0, 5.0], [4.0, 0.0]])
+    # disparity space with zeros where depth <= 0
+    exp = np.mean(np.abs(np.array([0.5 - 1.0, 0 - 0.2, 0.0, 1.0 - 0.0])))
+    assert abs(float(losses.depth_l1_loss(pred, gt)) - exp) < 1e-6
+
+
+def test_pearson_depth():
+    rng = np.random.default_rng(1)
+    d = rng.random((8, 8)).astype(np.float32)
+    # perfectly correlated -> loss 0
+    assert abs(float(losses.pearson_depth_loss(jnp.asarray(d), jnp.asarray(2 * d + 1)))) < 1e-5
+
+
+def test_masked_l1(imgs):
+    a, b = imgs
+    mask = np.zeros((2, 37, 45, 1), np.float32)
+    mask[:, :10] = 1.0
+    ours = float(losses.masked_l1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+    exp = np.abs(a[:, :10] - b[:, :10]).mean()
+    assert abs(ours - exp) < 1e-6
+
+
+def test_reducers():
+    v = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    assert float(losses.reduce_mean(v)) == 2.5
+    assert float(losses.reduce_sum(v)) == 10.0
+    m = jnp.asarray([True, False, True, False])
+    assert float(losses.reduce_mean(v, m)) == 2.0
+    assert abs(float(losses.reduce_quantile(v, 0.5)) - 3.5) < 1e-6
+
+
+def test_misc_losses(imgs):
+    a, b = imgs
+    ja, jb = jnp.asarray(a), jnp.asarray(b)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    assert abs(
+        float(losses.huber_loss(ja, jb, 0.1))
+        - F.huber_loss(ta, tb, delta=0.1).item()
+    ) < 1e-6
+    assert abs(
+        float(losses.smooth_l1_loss(ja, jb, 0.5))
+        - F.smooth_l1_loss(ta, tb, beta=0.5).item()
+    ) < 1e-6
+    assert abs(
+        float(losses.bce_loss(ja, jb)) - F.binary_cross_entropy(ta, tb).item()
+    ) < 1e-5
+    logits = jnp.asarray(a * 4 - 2)
+    assert abs(
+        float(losses.bce_with_logits_loss(logits, jb))
+        - F.binary_cross_entropy_with_logits(torch.from_numpy(np.asarray(logits)), tb).item()
+    ) < 1e-5
+    assert float(losses.total_variation_loss(ja)) > 0
