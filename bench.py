@@ -1,0 +1,102 @@
+"""Benchmark: garden grid-5 rasterization fwd+bwd throughput on one chip.
+
+Mirrors the reference's profiling/main.py headline config (scene_grid=5,
+4k render, batch 1, radius_clip=3.0, far=100 — docs/source/tests/profile.rst
+rows): N≈2.8M gaussians, ≈10M tile intersections per frame.
+
+Baseline: TITAN RTX fwd 171.8 FPS / bwd 97.1 FPS (profile.rst:50-57)
+=> combined step rate 1/(1/171.8 + 1/97.1) = 62.04 FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from gsplat_tpu.rendering import rasterization
+from gsplat_tpu.utils.data import load_test_data
+
+BASELINE_STEP_FPS = 62.04  # TITAN RTX combined fwd+bwd (profile.rst:50-57)
+
+
+def main():
+    means, quats, scales, opac, colors, viewmats, Ks, width, height = (
+        load_test_data(scene_grid=5)
+    )
+    W, H = 3840, 2160
+    Ks = Ks[:1].copy()
+    Ks[:, 0, :] *= W / width
+    Ks[:, 1, :] *= H / height
+    viewmats = jnp.asarray(viewmats[:1])
+    Ks = jnp.asarray(Ks)
+    means, quats, scales, opac, colors = map(
+        jnp.asarray, (means, quats, scales, opac, colors)
+    )
+    cap = 12 * 1024 * 1024
+
+    def render(*args):
+        c, a, meta = rasterization(
+            *args, viewmats, Ks, W, H,
+            near_plane=0.01, far_plane=100.0, radius_clip=3.0,
+            isect_capacity=cap,
+        )
+        return c, a, meta["isect_overflow"]
+
+    fwd = jax.jit(render)
+
+    @jax.jit
+    def step(*args):
+        def loss(*a):
+            c, _, _ = render(*a)
+            return jnp.sum(c)
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+
+    args = (means, quats, scales, opac, colors)
+
+    out = fwd(*args)
+    jax.block_until_ready(out)
+    assert not bool(out[2]), "isect capacity overflow in benchmark"
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+    t_fwd = (time.perf_counter() - t0) / reps
+
+    g = step(*args)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g = step(*args)
+    jax.block_until_ready(g)
+    t_step = (time.perf_counter() - t0) / reps  # fwd+bwd together
+
+    step_fps = 1.0 / t_step
+    result = {
+        "metric": "garden_grid5_4k_fwd_bwd_step_fps",
+        "value": round(step_fps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(step_fps / BASELINE_STEP_FPS, 4),
+        "detail": {
+            "fwd_fps": round(1.0 / t_fwd, 3),
+            "fwd_ms": round(t_fwd * 1e3, 2),
+            "step_ms": round(t_step * 1e3, 2),
+            "n_gaussians": int(means.shape[0]),
+            "rays_per_sec": round(W * H / t_step, 0),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

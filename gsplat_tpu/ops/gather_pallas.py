@@ -74,12 +74,20 @@ def _recombine(hi: jax.Array, lo: jax.Array) -> jax.Array:
 
 
 def _sel(win_rows: jax.Array, onehot: jax.Array) -> jax.Array:
-    """Select columns: (F, W) x (CH, W) -> (F, CH). Bit-exact on the MXU."""
+    """Select columns: (F, W) x (CH, W) -> (F, CH).
+
+    precision=HIGHEST is REQUIRED for bit-exactness: Mosaic's default f32
+    matmul is single-pass bf16 (8 significand bits — integers over 256 and
+    most f32 fields round!). HIGHEST decomposes each f32 into bf16 triples
+    whose one-hot products and single-term sums reconstruct it exactly
+    (verified on hardware across the f32 range incl. denormals).
+    """
     return jax.lax.dot_general(
         win_rows,
         onehot,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

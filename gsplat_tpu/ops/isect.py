@@ -200,7 +200,7 @@ def build_tile_worklist(
     P = tile_keys.shape[0]
     T = n_tiles_total
     A = _aligned_capacity(P, T, chunk)
-    AC = A // chunk  # aligned chunk count
+    AC = -(-A // chunk)  # aligned chunk count (A may not divide evenly)
 
     bounds = jnp.searchsorted(
         tile_keys, jnp.arange(T + 1, dtype=jnp.int32), side="left"
@@ -233,8 +233,8 @@ def build_tile_worklist(
     src = jnp.where(valid, t_start + within, 0).astype(jnp.int32)
 
     return TileWorklist(
-        src_idx=src.reshape(A),
-        valid=valid.reshape(A),
+        src_idx=src.reshape(AC * chunk)[:A],
+        valid=valid.reshape(AC * chunk)[:A],
         chunk_starts=chunk_starts.astype(jnp.int32),
         n_chunks=n_chunks.astype(jnp.int32),
         tile_starts=tile_starts,

@@ -200,6 +200,17 @@ def _core_fwd(
 
     # --- table assembly (stacked rows; pad rows make comparisons fail by
     # carrying an empty run: cum_ex == cum_in == total) ---
+    # Culled gaussians may carry NaN/inf fields (e.g. degenerate quats
+    # project to NaN conics; the reference never touches culled gaussians
+    # either). They MUST be zeroed here: the one-hot selection matmul
+    # multiplies every window entry by 0/1 and sums, and 0 * NaN = NaN
+    # would poison every slot whose window contains them.
+    ok = cnt > 0
+    m2f = jnp.where(ok[:, None], m2f, 0.0)
+    cnf = jnp.where(ok[:, None], cnf, 0.0)
+    clf = jnp.where(ok[:, None], clf, 0.0)
+    opf = jnp.where(ok, opf, 0.0)
+    depthf = jnp.where(ok, depthf, 0.0)
     exh, exl = _hi_lo(cum_ex)
     inh, inl = _hi_lo(cum_in)
     tot_hi, tot_lo = _hi_lo(cum_in[-1:])

@@ -1,0 +1,78 @@
+"""Trainer smoke tests on a tiny synthetic scene (CPU-runnable).
+
+Mirrors the reference's monkeypatched trainer tests (tests/conftest.py
+av_train_env fixture): the training loop runs end-to-end on fake data with
+no real dataset, exercising render -> loss -> grads -> adam -> strategy.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+
+@pytest.fixture(scope="module")
+def tiny_npz(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    n = 200
+    # inside load_test_data's crop AABB [-2, 2]^3; cameras pushed back so
+    # depths are positive
+    means = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    colors = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    viewmats[:, :3, 3] = rng.uniform(-0.2, 0.2, (3, 3)).astype(np.float32)
+    viewmats[:, 2, 3] += 4.0
+    Ks = np.tile(
+        np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32),
+        (3, 1, 1),
+    )
+    path = tmp_path_factory.mktemp("data") / "tiny.npz"
+    np.savez(
+        path, means3d=means, colors=colors, viewmats=viewmats, Ks=Ks,
+        width=np.int64(64), height=np.int64(48),
+    )
+    return str(path)
+
+
+@pytest.mark.parametrize("strategy", ["mcmc", "default"])
+def test_trainer_smoke(tiny_npz, tmp_path, strategy, monkeypatch):
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy=strategy,
+        data="npz",
+        result_dir=str(tmp_path / "out"),
+        max_steps=6,
+        batch_size=1,
+        sh_degree=1,
+        sh_degree_interval=2,
+        isect_capacity=1 << 14,
+        cap_max=512,
+        capacity=512,
+        refine_every=3,
+        eval_every=6,
+        save_every=6,
+    )
+    # make refine hit within the short run
+    runner = Runner(cfg)
+    if strategy == "mcmc":
+        runner.strategy = runner.strategy.__class__(
+            cap_max=512, refine_every=3, refine_start_iter=1
+        )
+    else:
+        runner.strategy = runner.strategy.__class__(
+            refine_every=3, refine_start_iter=1
+        )
+    params, alive = runner.train()
+    assert int(np.asarray(alive).sum()) >= 200
+    assert np.isfinite(np.asarray(params["means"])).all()
+    # eval stats + checkpoint written
+    assert (tmp_path / "out" / "stats.jsonl").exists()
+    assert any(
+        p.name.startswith("ckpt_") for p in (tmp_path / "out").iterdir()
+    )
