@@ -25,6 +25,9 @@ from .projection import (
     fully_fused_projection,
     proj,
 )
+from .projection2d import fully_fused_projection_2dgs
+from .rasterize2d import rasterize_to_pixels_2dgs
+from .rasterize2d_ref import rasterize_to_pixels_2dgs_ref
 from .rasterize_ref import rasterize_to_pixels_ref
 from .sh import eval_sh_bases, num_sh_bases, spherical_harmonics
 
@@ -39,6 +42,7 @@ __all__ = [
     "build_tile_worklist",
     "eval_sh_bases",
     "fully_fused_projection",
+    "fully_fused_projection_2dgs",
     "isect_offset_encode",
     "isect_tiles",
     "normalize",
@@ -50,6 +54,8 @@ __all__ = [
     "quat_scale_to_covar_preci",
     "quat_slerp",
     "quat_to_rotmat",
+    "rasterize_to_pixels_2dgs",
+    "rasterize_to_pixels_2dgs_ref",
     "rasterize_to_pixels_ref",
     "rotmat_to_quat",
     "spherical_harmonics",

@@ -155,6 +155,110 @@ def _pad_tail(x: jax.Array, n: int, value) -> jax.Array:
     return jnp.concatenate([x, jnp.full((n,), value, x.dtype)])
 
 
+def expand_sort_align(
+    field_rows,  # list of [E] f32 arrays (render fields, sanitized)
+    depthf: jax.Array,  # [E] f32 (non-negative sort key)
+    cnt, cum_ex, cum_in, rect_rows,  # plan arrays
+    win_starts, n_slots_arr,
+    cap_total: int,
+    tile_width: int,
+    tile_height: int,
+    n_images: int,
+):
+    """Emission-expand, depth-sort, and chunk-align arbitrary field rows.
+
+    The generic middle of the rasterization pipeline (kernel A -> payload
+    sort -> worklist -> kernel B); shared by the 3DGS and 2DGS paths.
+    Returns (aligned [F_s, A], ids_aligned [A], worklist).
+    """
+    R = len(field_rows)
+    r_pad = _round_up(R + 5, 8)
+    T = n_images * tile_width * tile_height
+    K = cap_total // CH
+
+    exh, exl = _hi_lo(cum_ex)
+    inh, inl = _hi_lo(cum_in)
+    tot_hi, tot_lo = _hi_lo(cum_in[-1:])
+    pad_hi = jnp.broadcast_to(tot_hi, (W_A,))
+    pad_lo = jnp.broadcast_to(tot_lo, (W_A,))
+    f32 = lambda v: v.astype(jnp.float32)
+    rows = [
+        jnp.concatenate([exh, pad_hi]), jnp.concatenate([exl, pad_lo]),
+        jnp.concatenate([inh, pad_hi]), jnp.concatenate([inl, pad_lo]),
+        _pad_tail(f32(rect_rows[0]), W_A, 0.0),
+        _pad_tail(f32(rect_rows[1]), W_A, 0.0),
+        _pad_tail(f32(rect_rows[2]), W_A, 1.0),
+        _pad_tail(f32(rect_rows[3]), W_A, float(n_images)),
+        _pad_tail(depthf, W_A, 0.0),
+    ] + [_pad_tail(r, W_A, 0.0) for r in field_rows]
+    F_tab = _round_up(len(rows), 8)
+    table = jnp.stack(
+        rows + [jnp.zeros_like(rows[0])] * (F_tab - len(rows))
+    )
+
+    keys, depth_keys, flat_ids, fields = expand_emission(
+        table, win_starts, n_slots_arr,
+        n_render=R, r_pad=r_pad, tile_w=tile_width,
+        tiles_per_im=tile_width * tile_height, sentinel=T, k=K,
+    )
+
+    operands = (keys, depth_keys, flat_ids) + tuple(
+        fields[i] for i in range(R)
+    )
+    s = jax.lax.sort(operands, num_keys=2, is_stable=True)
+    keys_s, flat_s = s[0], s[2]
+    fields_s = s[3:]
+
+    wl = build_tile_worklist(keys_s, T, DEFAULT_CHUNK)
+    A = wl.src_idx.shape[0]
+    A2 = _round_up(A, CH)
+    K2 = A2 // CH
+    src = jnp.where(wl.valid, wl.src_idx, -1)
+    src = _pad_tail(src, A2 - A, -1).reshape(K2, CH)
+    win2 = jnp.min(jnp.where(src >= 0, src, 2**30), axis=1)
+    win2 = jnp.clip((win2 // LANE) * LANE, 0, cap_total)
+
+    idh, idl = _hi_lo(flat_s)
+    stack_rows = list(fields_s) + [idh, idl]
+    F_s = _round_up(len(stack_rows), 8)
+    stack_rows += [jnp.zeros_like(idh)] * (F_s - len(stack_rows))
+    sorted_rows = jnp.stack([_pad_tail(r, W_A, 0.0) for r in stack_rows])
+
+    aligned = align_rows(sorted_rows, src, win2, k=K2)[:, :A]
+    ids_aligned = _recombine(aligned[R], aligned[R + 1])
+    return aligned, ids_aligned, wl
+
+
+def reduce_slot_grads(
+    v_aligned,  # [F_s, A] per-slot gradients (rows 0..n_rows-1 live)
+    n_rows: int,
+    ids_aligned, valid,  # [A]
+    cnt, cum_ex, n_slots,  # plan arrays (+ scalar n_slots)
+    E: int,
+    extra_abs: int = 0,  # also reduce |rows[:extra_abs]| (absgrad)
+):
+    """Deterministic per-gaussian reduction: payload-sort by id + cumsum
+    difference at run boundaries. Returns [E, n_rows (+extra_abs)]."""
+    A = ids_aligned.shape[0]
+    ids_sort = jnp.where(valid, ids_aligned, E)
+    operands = (ids_sort,) + tuple(v_aligned[i] for i in range(n_rows))
+    s = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    v_rows = jnp.stack(s[1:], axis=1)  # [A, n_rows]
+    if extra_abs:
+        v_rows = jnp.concatenate(
+            [v_rows, jnp.abs(v_rows[:, :extra_abs])], axis=1
+        )
+    Wc = v_rows.shape[1]
+    cs = jnp.concatenate(
+        [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)],
+        axis=0,
+    )
+    vrc = jnp.clip(jnp.minimum(cum_ex + cnt, n_slots) - cum_ex, 0, cnt)
+    ends = jnp.cumsum(vrc).astype(jnp.int32)
+    starts = ends - vrc
+    return cs[ends] - cs[starts]  # [E, Wc]
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18)
 )
@@ -191,15 +295,7 @@ def _core_fwd(
 ):
     width, height = image_size
     D = n_channels
-    E = m2f.shape[0]
-    R = 6 + D  # render fields: x, y, ca, cb, cc, op, colors
-    r_pad = _round_up(R + 5, 8)  # +5: key/flat hi-lo pairs + depth rows
-    T = n_images * tile_width * tile_height
-    sentinel = T
-    K = cap_total // CH
 
-    # --- table assembly (stacked rows; pad rows make comparisons fail by
-    # carrying an empty run: cum_ex == cum_in == total) ---
     # Culled gaussians may carry NaN/inf fields (e.g. degenerate quats
     # project to NaN conics; the reference never touches culled gaussians
     # either). They MUST be zeroed here: the one-hot selection matmul
@@ -211,74 +307,23 @@ def _core_fwd(
     clf = jnp.where(ok[:, None], clf, 0.0)
     opf = jnp.where(ok, opf, 0.0)
     depthf = jnp.where(ok, depthf, 0.0)
-    exh, exl = _hi_lo(cum_ex)
-    inh, inl = _hi_lo(cum_in)
-    tot_hi, tot_lo = _hi_lo(cum_in[-1:])
-    pad_hi = jnp.broadcast_to(tot_hi, (W_A,))
-    pad_lo = jnp.broadcast_to(tot_lo, (W_A,))
-    f32 = lambda v: v.astype(jnp.float32)
-    rows = [
-        jnp.concatenate([exh, pad_hi]), jnp.concatenate([exl, pad_lo]),
-        jnp.concatenate([inh, pad_hi]), jnp.concatenate([inl, pad_lo]),
-        _pad_tail(f32(rect_rows[0]), W_A, 0.0),  # tminx
-        _pad_tail(f32(rect_rows[1]), W_A, 0.0),  # tminy
-        _pad_tail(f32(rect_rows[2]), W_A, 1.0),  # w_rect
-        _pad_tail(f32(rect_rows[3]), W_A, float(n_images)),  # im
-        _pad_tail(depthf, W_A, 0.0),
-        _pad_tail(m2f[:, 0], W_A, 0.0), _pad_tail(m2f[:, 1], W_A, 0.0),
-        _pad_tail(cnf[:, 0], W_A, 0.0), _pad_tail(cnf[:, 1], W_A, 0.0),
-        _pad_tail(cnf[:, 2], W_A, 0.0), _pad_tail(opf, W_A, 0.0),
-    ] + [_pad_tail(clf[:, i], W_A, 0.0) for i in range(D)]
-    F_tab = _round_up(len(rows), 8)
-    table = jnp.stack(
-        rows + [jnp.zeros_like(rows[0])] * (F_tab - len(rows))
-    )  # [F_tab, E + W_A]
 
-    # --- Pallas expansion -> sort keys + fields per emission slot ---
-    keys, depth_keys, flat_ids, fields = expand_emission(
-        table, win_starts, n_slots_arr,
-        n_render=R, r_pad=r_pad, tile_w=tile_width,
-        tiles_per_im=tile_width * tile_height, sentinel=sentinel, k=K,
+    field_rows = [
+        m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1], cnf[:, 2], opf,
+    ] + [clf[:, i] for i in range(D)]
+    aligned, ids_aligned, wl = expand_sort_align(
+        field_rows, depthf, cnt, cum_ex, cum_in, rect_rows,
+        win_starts, n_slots_arr, cap_total, tile_width, tile_height,
+        n_images,
     )
 
-    # --- depth sort with field payload (the CUB radix sort analog) ---
-    operands = (keys, depth_keys, flat_ids) + tuple(
-        fields[i] for i in range(R)
-    )
-    s = jax.lax.sort(operands, num_keys=2, is_stable=True)
-    keys_s, _, flat_s = s[0], s[1], s[2]
-    fields_s = s[3:]
-
-    # --- per-tile chunk-aligned worklist ---
-    wl = build_tile_worklist(keys_s, T, DEFAULT_CHUNK)
-    A = wl.src_idx.shape[0]
-    A2 = _round_up(A, CH)
-    K2 = A2 // CH
-    src = jnp.where(wl.valid, wl.src_idx, -1)
-    src = _pad_tail(src, A2 - A, -1).reshape(K2, CH)
-    win2 = jnp.min(jnp.where(src >= 0, src, 2**30), axis=1)
-    win2 = jnp.clip((win2 // LANE) * LANE, 0, cap_total + W_A - W_A)
-
-    idh, idl = _hi_lo(flat_s)
-    stack_rows = list(fields_s) + [idh, idl]
-    F_s = _round_up(len(stack_rows), 8)
-    stack_rows += [jnp.zeros_like(idh)] * (F_s - len(stack_rows))
-    sorted_rows = jnp.stack(
-        [_pad_tail(r, W_A, 0.0) for r in stack_rows]
-    )  # [F_s, cap_total + W_A]
-
-    aligned = align_rows(sorted_rows, src, win2, k=K2)[:, :A]  # [F_s, A]
-
-    # --- rasterize ---
-    n_tiles = T
     pix_out, t_final = _fwd_call(
         aligned, wl.chunk_starts, wl.n_chunks,
         chunk=DEFAULT_CHUNK, n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=n_tiles,
+        n_tiles=n_images * tile_width * tile_height,
     )
 
-    ids_aligned = _recombine(aligned[R], aligned[R + 1])  # [A]
     res = (
         aligned, ids_aligned, wl.valid, wl.chunk_starts, wl.n_chunks,
         cnt, cum_ex, n_slots_arr, pix_out, t_final,
@@ -308,25 +353,10 @@ def _core_bwd(
         n_tiles=T,
     )  # [F_s, A] per-slot grads, field-major (rows 0..5+D live)
 
-    # deterministic reduction: payload-sort slots by gaussian id, then a
-    # cumsum difference at per-gaussian run boundaries
-    ids_sort = jnp.where(valid, ids_aligned, E)
-    operands = (ids_sort,) + tuple(v_aligned[i] for i in range(6 + D))
-    s = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    v_rows = jnp.stack(s[1:], axis=1)  # [A, 6+D]
-    if absgrad:
-        v_rows = jnp.concatenate([v_rows, jnp.abs(v_rows[:, 0:2])], axis=1)
-    Wc = v_rows.shape[1]
-    cs = jnp.concatenate(
-        [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
-    )  # [A+1, Wc]
-
-    # per-gaussian valid-slot runs: real emissions clamped by truncation
-    n_slots = n_slots_arr[0]
-    vrc = jnp.clip(jnp.minimum(cum_ex + cnt, n_slots) - cum_ex, 0, cnt)
-    ends = jnp.cumsum(vrc).astype(jnp.int32)
-    starts = ends - vrc
-    v_gauss = cs[ends] - cs[starts]  # [E, Wc]
+    v_gauss = reduce_slot_grads(
+        v_aligned, 6 + D, ids_aligned, valid, cnt, cum_ex,
+        n_slots_arr[0], E, extra_abs=2 if absgrad else 0,
+    )
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]

@@ -28,9 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from .ops.projection import fully_fused_projection
+from .ops.projection2d import fully_fused_projection_2dgs
 from .ops.rasterize import rasterize_to_pixels
+from .ops.rasterize2d import rasterize_to_pixels_2dgs
 from .ops.rasterize_pallas import DEFAULT_CHUNK, TILE
 from .ops.sh import spherical_harmonics
+from .utils.geometry import depth_to_normal
 
 # Render-mode predicates. Parity: gsplat/rendering.py:136-161. The hit
 # distance modes (d, Ed, RGB-d, RGB-Ed) belong to the eval3d path and land
@@ -313,3 +316,136 @@ def rasterization(
         "isect_capacity": isect_capacity,
     }
     return render_colors, render_alphas, meta
+
+
+def rasterization_2dgs(
+    means: jax.Array,  # [N, 3]
+    quats: jax.Array,  # [N, 4]
+    scales: jax.Array,  # [N, 3]
+    opacities: jax.Array,  # [N]
+    colors: jax.Array,  # [(C,) N, D] or [N, K, D] SH
+    viewmats: jax.Array,  # [C, 4, 4]
+    Ks: jax.Array,  # [C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    sh_degree: Optional[int] = None,
+    tile_size: int = TILE,
+    backgrounds: Optional[jax.Array] = None,  # [C, D]
+    render_mode: str = "RGB",
+    distloss: bool = False,  # parity arg; distortion is always rendered
+    depth_mode: str = "expected",  # "expected" | "median"
+    isect_capacity: Optional[int] = None,
+    densify: Optional[jax.Array] = None,  # [C, N, 2] densify-grad carrier
+) -> Tuple[jax.Array, ...]:
+    """Rasterize 2D surfel gaussians (2DGS, arXiv:2403.17888).
+
+    Returns (render_colors [C,H,W,X], render_alphas, render_normals
+    [C,H,W,3] world frame, normals_from_depth, render_distort,
+    render_median, meta). Parity: gsplat/rendering.py:rasterization_2dgs
+    (:1354) and cuda/csrc/Rendering.cpp:rasterization_2dgs (:1795).
+
+    `densify` (zeros) is the gradient carrier for
+    DefaultStrategy(key_for_gradient="gradient_2dgs"); its cotangent is the
+    reference's `meta["gradient_2dgs"].grad`.
+    """
+    if render_mode not in ("RGB", "D", "ED", "RGB+D", "RGB+ED"):
+        raise ValueError(f"unsupported 2DGS render_mode: {render_mode!r}")
+    assert depth_mode in ("expected", "median"), depth_mode
+    has_color = render_mode_has_color(render_mode)
+    has_depth = render_mode_has_depth_channel(render_mode)
+
+    C = viewmats.shape[-3]
+    N = means.shape[-2]
+    I = C
+
+    radii, means2d, depths, ray_transforms, normals = (
+        fully_fused_projection_2dgs(
+            means, quats, scales, viewmats, Ks, width, height,
+            near_plane=near_plane, far_plane=far_plane,
+        )
+    )
+
+    op = jnp.broadcast_to(opacities[None], (C, N))
+
+    if has_color:
+        if sh_degree is not None:
+            campos = _campos_from_viewmats(viewmats)
+            dirs = means[None, :, :] - campos[:, None, :]
+            feats = spherical_harmonics(
+                sh_degree, dirs, colors, masks=(radii > 0).all(-1)
+            )
+            feats = jnp.maximum(feats + 0.5, 0.0)
+        else:
+            feats = jnp.broadcast_to(
+                colors[None] if colors.ndim == 2 else colors,
+                (C, N, colors.shape[-1]),
+            )
+    else:
+        feats = jnp.zeros((C, N, 0), means.dtype)
+    # depth is ALWAYS the last channel (drives distortion + median depth,
+    # RasterizeToPixels2DGSSerialBatchFwd.cu:404-432)
+    feats = jnp.concatenate([feats, depths[..., None]], axis=-1)
+    D_out = feats.shape[-1]
+
+    if isect_capacity is None:
+        isect_capacity = _round_up(max(4 * I * N, DEFAULT_CHUNK), DEFAULT_CHUNK)
+
+    bg = None
+    if backgrounds is not None:
+        bg = backgrounds
+        if bg.shape[-1] < D_out:
+            bg = jnp.pad(bg, ((0, 0), (0, D_out - bg.shape[-1])))
+
+    render, alphas, render_n, distort, median, aux = rasterize_to_pixels_2dgs(
+        means2d, ray_transforms.reshape(C, N, 9), feats, normals, op,
+        width, height, radii, depths, isect_capacity,
+        backgrounds=bg, tile_size=tile_size, densify=densify,
+    )
+
+    # postprocess: strip/normalize the depth channel per render mode
+    if render_mode_has_expected_depth(render_mode):
+        depth_ch = render[..., -1:] / jnp.maximum(alphas, 1e-10)
+        render = jnp.concatenate([render[..., :-1], depth_ch], axis=-1)
+    render_full = render
+    if not has_depth and has_color:
+        render = render[..., :-1]
+
+    # rendered normals are camera-frame: rotate to world
+    c2w_R = jnp.swapaxes(viewmats[..., :3, :3], -1, -2)
+    render_normals = jnp.einsum(
+        "cij,chwj->chwi", c2w_R, render_n, precision="highest"
+    )
+
+    normals_from_depth = None
+    if has_color and render_mode_has_depth_channel(render_mode):
+        depth_for_normal = (
+            median if depth_mode == "median" else render_full[..., -1:]
+        )
+        camtoworlds = jnp.linalg.inv(viewmats)
+        normals_from_depth = depth_to_normal(
+            depth_for_normal, camtoworlds, Ks
+        )
+
+    meta = {
+        "radii": radii,
+        "means2d": means2d,
+        "depths": depths,
+        "ray_transforms": ray_transforms,
+        "opacities": op,
+        "normals": normals,
+        "tiles_per_gauss": aux["tiles_per_gauss"],
+        "width": width,
+        "height": height,
+        "tile_size": tile_size,
+        "n_cameras": C,
+        "n_isects": aux["n_isects"],
+        "isect_overflow": aux["isect_overflow"],
+        "render_distort": distort,
+        "gradient_2dgs": densify,
+    }
+    return (
+        render, alphas, render_normals, normals_from_depth, distort,
+        median, meta,
+    )
