@@ -76,3 +76,33 @@ def test_trainer_smoke(tiny_npz, tmp_path, strategy, monkeypatch):
     assert any(
         p.name.startswith("ckpt_") for p in (tmp_path / "out").iterdir()
     )
+
+
+def test_trainer_2dgs_smoke(tiny_npz, tmp_path, monkeypatch):
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer_2dgs import Config as Config2D
+    from simple_trainer_2dgs import Runner2DGS
+
+    cfg = Config2D(
+        strategy="default",
+        data="npz",
+        result_dir=str(tmp_path / "out2d"),
+        max_steps=4,
+        batch_size=1,
+        sh_degree=1,
+        sh_degree_interval=2,
+        isect_capacity=1 << 14,
+        capacity=512,
+        refine_every=3,
+        eval_every=4,
+        save_every=4,
+        normal_start_iter=2,
+        dist_start_iter=2,
+    )
+    runner = Runner2DGS(cfg)
+    runner.strategy = runner.strategy.__class__(
+        refine_every=3, refine_start_iter=1
+    )
+    params, alive = runner.train()
+    assert int(np.asarray(alive).sum()) >= 150
+    assert np.isfinite(np.asarray(params["means"])[np.asarray(alive)]).all()
