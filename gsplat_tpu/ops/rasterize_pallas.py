@@ -8,28 +8,34 @@ TPU-native redesign of the reference CUDA rasterizer
     early-out, backward via back-to-front replay + atomicAdd scatter.
   * Here: one grid step per tile; the depth-sorted per-tile worklist is laid
     out field-major [F, A] in HBM with chunk-aligned 128-wide spans
-    (see ops.isect.build_tile_worklist) and DMA'd through VMEM chunk by
-    chunk with double buffering. Compositing runs in its associative form —
-    per-chunk cumulative products of (1 - alpha) on the VPU and an MXU
-    matmul for the color accumulation — with a whole-tile early exit when
-    every pixel's transmittance saturates (the analog of the CUDA done-mask
-    break, Fwd.cu:268-271).
+    (see ops.isect.build_tile_worklist) and DMA'd through VMEM in
+    SUPER-chunks of SUP x 128 lanes with double buffering (the per-128
+    version was DMA-latency bound: ~10ns of transfer against ~1-2us of
+    latency per chunk; 512-lane super-chunks give ~3us of VPU work to hide
+    it behind). Compositing runs in its associative form — per-chunk
+    cumulative products of (1 - alpha) on the VPU and an MXU matmul for the
+    color accumulation — with a whole-tile early exit when every pixel's
+    transmittance saturates (the analog of the CUDA done-mask break,
+    Fwd.cu:268-271).
   * Backward is a front-to-back *replay* (no last_ids needed — the
     saturation masks are recomputed exactly), producing per-worklist-slot
     gradients written densely to HBM. Accumulation to per-gaussian gradients
-    happens outside the kernel as a segment-sum — deterministic, no atomics
-    (a correctness upgrade over the CUDA `atomicAdd` path).
+    happens outside the kernel as a sorted segment reduction — deterministic,
+    no atomics (a correctness upgrade over the CUDA `atomicAdd` path).
 
 Compositing semantics match RasterizeToPixels3DGSDevice.cuh exactly:
 sigma/alpha gates, MAX_ALPHA clamp, transmittance threshold with the
 saturating gaussian excluded, background blended with the final
 transmittance.
 
-Layout: a chunk of 128 depth-consecutive gaussians lives on the lane axis
+Layout: 128 depth-consecutive gaussians per aligned chunk on the lane axis
 (TPU DMA requires 128-lane minor dims for dynamically offset HBM slices);
-the 256 pixels of a 16x16 tile live on the sublane axis. Per-tile images
-are produced in a tiled [n_tiles, D, 256] layout and re-assembled outside
-the kernel (see ops.rasterize.tile_image/untile_image).
+the 256 pixels of a 16x16 tile live on the sublane axis. Tile spans are
+128-aligned; the last super-chunk of a tile may straddle into the next
+tile's span, so alphas are gated by the tile's true chunk count and
+backward writes are issued per valid 128-chunk only. Per-tile images are
+produced in a tiled [n_tiles, D, 256] layout and re-assembled outside the
+kernel (see ops.rasterize.tile_image/untile_image).
 """
 
 from __future__ import annotations
@@ -44,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
-DEFAULT_CHUNK = 128  # gaussians per DMA chunk == lane width (hard constraint)
+DEFAULT_CHUNK = 128  # aligned-span granularity == lane width (hard constraint)
+SUP = 4  # 128-chunks per DMA super-chunk (512 lanes per loop iteration)
 TILE = 16  # tile_size for the Pallas path (pixels per side)
 N_PIX = TILE * TILE  # 256 pixels per tile
 
@@ -102,18 +109,18 @@ def _tile_pixel_coords(t: jax.Array, tiles_w: int, tiles_per_image: int):
 
 
 def _chunk_alphas(buf, px, py):
-    """Gated alphas (256, 128) + intermediates from a staged chunk (F, 128).
+    """Gated alphas (256, L) + intermediates from a staged chunk (F, L).
 
     buf rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..6+D colors.
     Parity: RasterizeToPixels3DGSDevice.cuh:eval_gaussian_weight.
     """
-    mx = buf[0:1, :]  # (1, 128)
+    mx = buf[0:1, :]  # (1, L)
     my = buf[1:2, :]
     ca = buf[2:3, :]
     cb = buf[3:4, :]
     cc = buf[4:5, :]
     op = buf[5:6, :]
-    dx = mx - px  # (256, 128)
+    dx = mx - px  # (256, L)
     dy = my - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     vis = jnp.exp(-sigma)
@@ -131,7 +138,7 @@ def _chunk_alphas(buf, px, py):
 
 def _fwd_kernel(
     # scalar prefetch
-    chunk_starts_ref,  # [T] int32 (units of chunks)
+    chunk_starts_ref,  # [T] int32 (units of 128-chunks)
     n_chunks_ref,  # [T] int32
     # inputs
     isect_hbm,  # [F, A] f32 in HBM, field-major
@@ -139,9 +146,9 @@ def _fwd_kernel(
     color_ref,  # (1, D, 256)
     tfinal_ref,  # (1, 1, 256)
     # scratch
-    buf_ref,  # (2, F, 128) VMEM
+    buf_ref,  # (2, F, SUP*128) VMEM
     t_ref,  # (256, 1) VMEM running transmittance
-    sem,  # DMA semaphores (2,)
+    sem,  # DMA semaphores (2, SUP)
     *,
     chunk: int,
     n_channels: int,
@@ -153,44 +160,66 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = chunk_starts_ref[t]
     n_ch = n_chunks_ref[t]
+    L = SUP * chunk
+    n_sup = (n_ch + SUP - 1) // SUP
 
     px, py, _, _ = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)  # centers are at +0.5
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     color_ref[:] = jnp.zeros_like(color_ref)
 
-    def dma(slot, c):
+    def dma(slot, k, c):
         off = pl.multiple_of((start + c) * chunk, chunk)
         return pltpu.make_async_copy(
             isect_hbm.at[:, pl.ds(off, chunk)],
-            buf_ref.at[slot],
-            sem.at[slot],
+            buf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
+            sem.at[slot, k],
         )
+
+    def start_super(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma(slot, k, s * SUP + k).start()
+
+    def wait_super(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma(slot, k, s * SUP + k).wait()
 
     @pl.when(n_ch > 0)
     def _():
-        dma(0, 0).start()
+        start_super(0, 0)
 
         def body(carry):
-            c, _ = carry
-            slot = jax.lax.rem(c, 2)
+            s, _ = carry
+            slot = jax.lax.rem(s, 2)
 
-            @pl.when(c + 1 < n_ch)
+            @pl.when(s + 1 < n_sup)
             def _():
-                dma(1 - slot, c + 1).start()
+                start_super(1 - slot, s + 1)
 
-            dma(slot, c).wait()
-            buf = buf_ref[slot]
+            wait_super(slot, s)
+            # lanes past the tile's true span hold stale or uninitialized
+            # data (possibly NaN, which would poison the matmuls via 0*NaN):
+            # zero them before any use
+            lane_row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, L), 1
+            )
+            valid_row = (s * L + lane_row) < n_ch * chunk
+            buf = jnp.where(valid_row, buf_ref[slot], 0.0)
 
             alpha, _, _, _, _ = _chunk_alphas(buf, px, py)
+
             one_m = 1.0 - alpha
             cp_incl = _cumprod_lane(one_m)
             cp_excl = _shift_right_one(cp_incl, 1.0)
             t_prev = t_ref[:]  # (256, 1)
             contribute = (t_prev * cp_incl) > TRANSMITTANCE_THRESHOLD
-            w = alpha * (t_prev * cp_excl) * contribute  # (256, 128)
+            w = alpha * (t_prev * cp_excl) * contribute  # (256, L)
 
-            colors = buf[6 : 6 + n_channels, :]  # (D, 128)
+            colors = buf[6 : 6 + n_channels, :]  # (D, L)
             acc = jax.lax.dot_general(
                 colors,
                 w,
@@ -204,21 +233,21 @@ def _fwd_kernel(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
             t_ref[:] = t_new
-            return c + 1, jnp.max(t_new)
+            return s + 1, jnp.max(t_new)
 
         def cond(carry):
-            c, tmax = carry
-            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
+            s, tmax = carry
+            return (s < n_sup) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        c_final, _ = jax.lax.while_loop(
+        s_final, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.float32(1.0))
         )
 
-        # On early exit a prefetch for chunk c_final may be in flight; drain
-        # it so the next grid step's DMAs can't race the buffer/semaphore.
-        @pl.when(c_final < n_ch)
+        # On early exit a prefetch for super-chunk s_final may be in flight;
+        # drain it so the next grid step's DMAs can't race buffers/semaphores.
+        @pl.when(s_final < n_sup)
         def _():
-            dma(jax.lax.rem(c_final, 2), c_final).wait()
+            wait_super(jax.lax.rem(s_final, 2), s_final)
 
     tfinal_ref[0] = jnp.transpose(t_ref[:], (1, 0))
 
@@ -241,12 +270,12 @@ def _bwd_kernel(
     # outputs
     v_isect_hbm,  # [F, A] HBM — per-slot gradients
     # scratch
-    buf_ref,  # (2, F, 128)
-    vbuf_ref,  # (2, F, 128)
+    buf_ref,  # (2, F, SUP*128)
+    vbuf_ref,  # (2, F, SUP*128)
     t_ref,  # (256, 1) replayed transmittance
     e_ref,  # (256, 1) running sum_{j<=i} w_j d_j
-    sem,  # (2,) in DMA semaphores
-    osem,  # (2,) out DMA semaphores
+    sem,  # (2, SUP) in DMA semaphores
+    osem,  # (2, SUP) out DMA semaphores
     *,
     chunk: int,
     n_channels: int,
@@ -259,6 +288,8 @@ def _bwd_kernel(
     start = chunk_starts_ref[t]
     n_ch = n_chunks_ref[t]
     D = n_channels
+    L = SUP * chunk
+    n_sup = (n_ch + SUP - 1) // SUP
 
     px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)
@@ -282,49 +313,81 @@ def _bwd_kernel(
         [ones, lx, ly, lx * lx, lx * ly, ly * ly], axis=1
     )  # (256, 6) in tile-local coordinates
 
-    def dma_in(slot, c):
+    def dma_in(slot, k, c):
         off = pl.multiple_of((start + c) * chunk, chunk)
         return pltpu.make_async_copy(
-            isect_hbm.at[:, pl.ds(off, chunk)], buf_ref.at[slot], sem.at[slot]
+            isect_hbm.at[:, pl.ds(off, chunk)],
+            buf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
+            sem.at[slot, k],
         )
 
-    def dma_out(slot, c):
+    def dma_out(slot, k, c):
         off = pl.multiple_of((start + c) * chunk, chunk)
         return pltpu.make_async_copy(
-            vbuf_ref.at[slot], v_isect_hbm.at[:, pl.ds(off, chunk)], osem.at[slot]
+            vbuf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
+            v_isect_hbm.at[:, pl.ds(off, chunk)],
+            osem.at[slot, k],
         )
+
+    def start_super_in(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma_in(slot, k, s * SUP + k).start()
+
+    def wait_super_in(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma_in(slot, k, s * SUP + k).wait()
+
+    def start_super_out(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma_out(slot, k, s * SUP + k).start()
+
+    def wait_super_out(slot, s):
+        for k in range(SUP):
+            @pl.when(s * SUP + k < n_ch)
+            def _():
+                dma_out(slot, k, s * SUP + k).wait()
 
     @pl.when(n_ch > 0)
     def _():
-        dma_in(0, 0).start()
+        start_super_in(0, 0)
 
-        def body(c, _):
-            slot = jax.lax.rem(c, 2)
+        def body(s, _):
+            slot = jax.lax.rem(s, 2)
 
-            @pl.when(c + 1 < n_ch)
+            @pl.when(s + 1 < n_sup)
             def _():
-                dma_in(1 - slot, c + 1).start()
+                start_super_in(1 - slot, s + 1)
 
-            dma_in(slot, c).wait()
+            wait_super_in(slot, s)
 
-            # the grad write that used this vbuf slot must have landed
-            @pl.when(c >= 2)
+            # the grad writes that used this vbuf slot must have landed
+            @pl.when(s >= 2)
             def _():
-                dma_out(slot, c - 2).wait()
+                wait_super_out(slot, s - 2)
 
-            buf = buf_ref[slot]
+            # zero stale/uninitialized lanes (0 * NaN poisons matmuls)
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            lane_valid = (s * L + lane_row) < n_ch * chunk
+            buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
             alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
                 buf, px, py
             )
+
             one_m = 1.0 - alpha
             cp_incl = _cumprod_lane(one_m)
             cp_excl = _shift_right_one(cp_incl, 1.0)
             t_prev = t_ref[:]
             contribute = (t_prev * cp_incl) > TRANSMITTANCE_THRESHOLD
-            t_i = t_prev * cp_excl  # (256, 128)
+            t_i = t_prev * cp_excl  # (256, L)
             w = alpha * t_i * contribute
 
-            colors = buf[6 : 6 + D, :]  # (D, 128)
+            colors = buf[6 : 6 + D, :]  # (D, L)
             # d(p, g) = sum_c v_pix(c, p) * colors(c, g)
             d = jax.lax.dot_general(
                 v_pix,
@@ -332,21 +395,21 @@ def _bwd_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (256, 128)
+            )  # (256, L)
 
             wd = w * d
             e_incl = e_ref[:] + _cumsum_lane(wd)
 
             inv_om = 1.0 / one_m  # alpha <= 0.99 so one_m >= 0.01
             v_alpha = d * t_i - (dtot_col - e_incl) * inv_om - vt_term * inv_om
-            live = contribute & gate
+            live = contribute & gate & lane_valid
             v_alpha = jnp.where(live, v_alpha, 0.0)
 
             unclamped = alpha_raw < MAX_ALPHA
-            v_sigma = jnp.where(unclamped, -alpha * v_alpha, 0.0)  # (256, 128)
+            v_sigma = jnp.where(unclamped, -alpha * v_alpha, 0.0)  # (256, L)
             v_op = jnp.sum(
                 jnp.where(unclamped, vis * v_alpha, 0.0), axis=0, keepdims=True
-            )  # (1, 128)
+            )  # (1, L)
 
             # pixel-basis reductions: one MXU matmul
             R = jax.lax.dot_general(
@@ -355,7 +418,7 @@ def _bwd_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (6, 128)
+            )  # (6, L)
             r0, r1, r2 = R[0:1, :], R[1:2, :], R[2:3, :]
             r3, r4, r5 = R[3:4, :], R[4:5, :], R[5:6, :]
             # sums of v_sigma * {dx^2, dx*dy, dy^2, dx, dy} via separability;
@@ -376,7 +439,7 @@ def _bwd_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (D, 128)
+            )  # (D, L)
 
             vbuf_ref[slot, 0:1, :] = ca * s_dx + cb * s_dy  # v_mx
             vbuf_ref[slot, 1:2, :] = cb * s_dx + cc * s_dy  # v_my
@@ -385,7 +448,7 @@ def _bwd_kernel(
             vbuf_ref[slot, 4:5, :] = 0.5 * s_dy2  # v_conic_c
             vbuf_ref[slot, 5:6, :] = v_op
             vbuf_ref[slot, 6 : 6 + D, :] = v_col
-            dma_out(slot, c).start()
+            start_super_out(slot, s)
 
             # update carries
             t_ref[:] = t_prev * jnp.min(
@@ -394,14 +457,14 @@ def _bwd_kernel(
             e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
             return ()
 
-        jax.lax.fori_loop(0, n_ch, body, ())
+        jax.lax.fori_loop(0, n_sup, body, ())
 
         # drain outstanding grad writes
-        @pl.when(n_ch >= 2)
+        @pl.when(n_sup >= 2)
         def _():
-            dma_out(jax.lax.rem(n_ch, 2), n_ch - 2).wait()
+            wait_super_out(jax.lax.rem(n_sup, 2), n_sup - 2)
 
-        dma_out(jax.lax.rem(n_ch - 1, 2), n_ch - 1).wait()
+        wait_super_out(jax.lax.rem(n_sup - 1, 2), n_sup - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -434,15 +497,15 @@ def _fwd_call(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F, chunk), jnp.float32),
+            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, SUP)),
         ],
     )
     kernel = functools.partial(
@@ -495,20 +558,20 @@ def _bwd_call(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, F, chunk), jnp.float32),
-            pltpu.VMEM((2, F, chunk), jnp.float32),
+            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
+            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, SUP)),
+            pltpu.SemaphoreType.DMA((2, SUP)),
         ],
     )
     kernel = functools.partial(
@@ -523,8 +586,7 @@ def _bwd_call(
     # No zero-init of v_isect is needed: every aligned slot inside a tile's
     # chunk span is written by the backward loop (padding rows compute to
     # exact zeros since their opacity is 0), and slots beyond the last
-    # tile's span are never read by the accumulation (the inverse
-    # permutation only targets valid slots).
+    # tile's span sort to the sentinel tail of the reduction.
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
