@@ -6,9 +6,10 @@ Public surface mirrors the reference's curated exports
 (gsplat/__init__.py:19-102) as features land.
 """
 
-from . import ops
+from . import ops, sensors
 from .ops import (
     fully_fused_projection,
+    fully_fused_projection_ut,
     isect_offset_encode,
     isect_tiles,
     proj,
@@ -17,14 +18,26 @@ from .ops import (
 )
 from .ops.rasterize import rasterize_to_pixels
 from .rendering import rasterization, rasterization_2dgs
+from .sensors import (
+    FThetaCameraDistortionParameters,
+    FThetaPolynomialType,
+    RollingShutterType,
+    UnscentedTransformParameters,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "FThetaCameraDistortionParameters",
+    "FThetaPolynomialType",
+    "RollingShutterType",
+    "UnscentedTransformParameters",
     "fully_fused_projection",
+    "fully_fused_projection_ut",
     "isect_offset_encode",
     "isect_tiles",
     "ops",
+    "sensors",
     "proj",
     "quat_scale_to_covar_preci",
     "rasterization",

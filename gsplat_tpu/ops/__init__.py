@@ -25,6 +25,7 @@ from .projection import (
     fully_fused_projection,
     proj,
 )
+from .projection_ut import fully_fused_projection_ut
 from .projection2d import fully_fused_projection_2dgs
 from .rasterize2d import rasterize_to_pixels_2dgs
 from .rasterize2d_ref import rasterize_to_pixels_2dgs_ref
@@ -43,6 +44,7 @@ __all__ = [
     "eval_sh_bases",
     "fully_fused_projection",
     "fully_fused_projection_2dgs",
+    "fully_fused_projection_ut",
     "isect_offset_encode",
     "isect_tiles",
     "normalize",

@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from .ops.projection import fully_fused_projection
+from .ops.projection_ut import fully_fused_projection_ut
 from .ops.projection2d import fully_fused_projection_2dgs
+from .sensors.params import (
+    FThetaCameraDistortionParameters,
+    RollingShutterType,
+    UnscentedTransformParameters,
+)
 from .ops.rasterize import rasterize_to_pixels
 from .ops.rasterize2d import rasterize_to_pixels_2dgs
 from .ops.rasterize_pallas import DEFAULT_CHUNK, TILE
@@ -143,6 +149,15 @@ def rasterization(
     masks: Optional[jax.Array] = None,  # [..., C, th, tw] bool tile masks
     isect_capacity: Optional[int] = None,
     means2d_offset: Optional[jax.Array] = None,  # [..., C, N, 2] grad carrier
+    with_ut: bool = False,
+    with_eval3d: bool = False,
+    ut_params: Optional[UnscentedTransformParameters] = None,
+    radial_coeffs: Optional[jax.Array] = None,  # [..., C, <=6]
+    tangential_coeffs: Optional[jax.Array] = None,  # [..., C, 2]
+    thin_prism_coeffs: Optional[jax.Array] = None,  # [..., C, 4]
+    ftheta_coeffs: Optional[FThetaCameraDistortionParameters] = None,
+    rolling_shutter: RollingShutterType = RollingShutterType.GLOBAL,
+    viewmats_rs: Optional[jax.Array] = None,  # [..., C, 4, 4]
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize N 3D Gaussians to C image planes (optionally batched).
 
@@ -176,23 +191,74 @@ def rasterization(
     I = B * C
 
     calc_compensations = rasterize_mode == "antialiased"
-    radii, means2d, depths, conics, compensations = fully_fused_projection(
-        means,
-        covars,
-        quats,
-        scales,
-        viewmats,
-        Ks,
-        width,
-        height,
-        eps2d=eps2d,
-        near_plane=near_plane,
-        far_plane=far_plane,
-        radius_clip=radius_clip,
-        calc_compensations=calc_compensations,
-        camera_model=camera_model,
-        opacities=opacities,
-    )  # [..., C, N, ...]
+    if with_eval3d:
+        raise NotImplementedError(
+            "with_eval3d=True (3D gaussian response along pixel rays) is not "
+            "implemented yet; with_ut=True alone covers distorted cameras "
+            "and rolling shutter with 2D conic compositing"
+        )
+    has_distortion = (
+        radial_coeffs is not None
+        or tangential_coeffs is not None
+        or thin_prism_coeffs is not None
+        or ftheta_coeffs is not None
+        or rolling_shutter != RollingShutterType.GLOBAL
+    )
+    if has_distortion and not with_ut:
+        raise ValueError(
+            "distortion coefficients / rolling shutter require with_ut=True "
+            "(parity: gsplat/rendering.py 3DGUT path)"
+        )
+    if with_ut:
+        # 3DGUT projection: sigma points through the nonlinear camera model
+        # (parity: rendering.py:821-838 / ProjectionUT3DGSFused.cu).
+        # Antialiased mode is rejected for UT like the reference
+        # (_validate_3dgut_rasterize_mode, rendering.py:167-174).
+        if rasterize_mode != "classic":
+            raise ValueError(
+                "rasterize_mode='antialiased' is not supported with with_ut"
+            )
+        radii, means2d, depths, conics, compensations = fully_fused_projection_ut(
+            means,
+            quats,
+            scales,
+            opacities,
+            viewmats,
+            Ks,
+            width,
+            height,
+            eps2d=eps2d,
+            near_plane=near_plane,
+            far_plane=far_plane,
+            radius_clip=radius_clip,
+            calc_compensations=calc_compensations,
+            camera_model=camera_model,
+            ut_params=ut_params,
+            radial_coeffs=radial_coeffs,
+            tangential_coeffs=tangential_coeffs,
+            thin_prism_coeffs=thin_prism_coeffs,
+            ftheta_coeffs=ftheta_coeffs,
+            rolling_shutter=rolling_shutter,
+            viewmats_rs=viewmats_rs,
+        )
+    else:
+        radii, means2d, depths, conics, compensations = fully_fused_projection(
+            means,
+            covars,
+            quats,
+            scales,
+            viewmats,
+            Ks,
+            width,
+            height,
+            eps2d=eps2d,
+            near_plane=near_plane,
+            far_plane=far_plane,
+            radius_clip=radius_clip,
+            calc_compensations=calc_compensations,
+            camera_model=camera_model,
+            opacities=opacities,
+        )  # [..., C, N, ...]
 
     # flatten batch+camera dims to I for tiling/rasterization
     radii_f = radii.reshape(I, N, 2)
