@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from .ops.projection import fully_fused_projection
 from .ops.projection_ut import fully_fused_projection_ut
 from .ops.projection2d import fully_fused_projection_2dgs
+from .ops.rasterize_eval3d import rasterize_to_pixels_eval3d
+from .sensors.cameras import generate_rays, make_camera
 from .sensors.params import (
     FThetaCameraDistortionParameters,
     RollingShutterType,
@@ -158,6 +160,8 @@ def rasterization(
     ftheta_coeffs: Optional[FThetaCameraDistortionParameters] = None,
     rolling_shutter: RollingShutterType = RollingShutterType.GLOBAL,
     viewmats_rs: Optional[jax.Array] = None,  # [..., C, 4, 4]
+    rays: Optional[jax.Array] = None,  # [C, H, W, 6] (eval3d only)
+    return_normals: bool = False,  # eval3d only
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize N 3D Gaussians to C image planes (optionally batched).
 
@@ -169,12 +173,12 @@ def rasterization(
     (defaults to 4 * total_cameras * N, rounded to the DMA chunk);
     `meta["isect_overflow"]` reports truncation so callers can re-jit larger.
     """
-    if render_mode in _HIT_DIST_MODES:
-        raise NotImplementedError(
-            f"hit-distance render mode {render_mode!r} requires the eval3d "
-            "path (not yet implemented)"
+    if render_mode in _HIT_DIST_MODES and not with_eval3d:
+        raise ValueError(
+            f"hit-distance render mode {render_mode!r} requires "
+            "with_eval3d=True (parity: gsplat/rendering.py:324-340)"
         )
-    if render_mode not in _COLOR_MODES | _DEPTH_MODES:
+    if render_mode not in _COLOR_MODES | _DEPTH_MODES | _HIT_DIST_MODES:
         raise ValueError(f"unknown render_mode: {render_mode!r}")
     assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
     assert tile_size == TILE, "the Pallas rasterizer requires tile_size == 16"
@@ -192,11 +196,18 @@ def rasterization(
 
     calc_compensations = rasterize_mode == "antialiased"
     if with_eval3d:
-        raise NotImplementedError(
-            "with_eval3d=True (3D gaussian response along pixel rays) is not "
-            "implemented yet; with_ut=True alone covers distorted cameras "
-            "and rolling shutter with 2D conic compositing"
-        )
+        if rasterize_mode != "classic":
+            raise ValueError(
+                "rasterize_mode='antialiased' is not supported with "
+                "with_eval3d (parity: rendering.py:167-174)"
+            )
+        if batch_dims:
+            raise NotImplementedError(
+                "eval3d currently requires unbatched inputs ([N,3] means, "
+                "[C,4,4] viewmats)"
+            )
+    if rays is not None and not with_eval3d:
+        raise ValueError("rays input is only supported with with_eval3d=True")
     has_distortion = (
         radial_coeffs is not None
         or tangential_coeffs is not None
@@ -316,6 +327,75 @@ def rasterization(
         isect_capacity = _round_up(isect_capacity, DEFAULT_CHUNK)
 
     masks_f = masks.reshape(I, th, tw) if masks is not None else None
+
+    if with_eval3d:
+        # Ray-based 3D evaluation (parity: rendering.py eval3d branch over
+        # RasterizeToPixelsFromWorld3DGS*; projection above supplies tiling).
+        if rays is None:
+            camera = make_camera(
+                camera_model,
+                width,
+                height,
+                focal_lengths=(
+                    None
+                    if camera_model == "ftheta"
+                    else jnp.stack([Ks[..., 0, 0], Ks[..., 1, 1]], -1)
+                ),
+                principal_points=Ks[..., :2, 2],
+                radial_coeffs=radial_coeffs,
+                tangential_coeffs=tangential_coeffs,
+                thin_prism_coeffs=thin_prism_coeffs,
+                ftheta_coeffs=ftheta_coeffs,
+                shutter_type=rolling_shutter,
+            )
+            rays = generate_rays(camera, width, height, viewmats, viewmats_rs)
+        render_colors, render_alphas, render_normals, aux = (
+            rasterize_to_pixels_eval3d(
+                means,
+                quats,
+                scales,
+                feats_f,
+                op,
+                rays,
+                width,
+                height,
+                radii_f,
+                depths_f,
+                means2d_f,
+                isect_capacity,
+                backgrounds=bg_f,
+                use_hit_distance=render_mode in _HIT_DIST_MODES,
+                return_normals=return_normals,
+            )
+        )
+        if render_mode_has_expected_depth(render_mode):
+            depth_ch = render_colors[..., -1:] / jnp.maximum(
+                render_alphas, 1e-10
+            )
+            render_colors = jnp.concatenate(
+                [render_colors[..., :-1], depth_ch], axis=-1
+            )
+        meta = {
+            "radii": radii,
+            "means2d": means2d,
+            "depths": depths,
+            "conics": conics,
+            "opacities": op.reshape(batch_dims + (C, N)),
+            "rays": rays,
+            "render_normals": render_normals,
+            "width": width,
+            "height": height,
+            "tile_size": tile_size,
+            "n_batches": B,
+            "n_cameras": C,
+            "n_isects": aux["n_isects"],
+            "isect_overflow": aux["isect_overflow"],
+            "isect_capacity": isect_capacity,
+            "tiles_per_gauss": aux["tiles_per_gauss"].reshape(
+                batch_dims + (C, N)
+            ),
+        }
+        return render_colors, render_alphas, meta
 
     m2_render = means2d_f
     m2_abs = None

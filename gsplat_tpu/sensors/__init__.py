@@ -18,6 +18,7 @@ from .params import (
 )
 from .cameras import (
     CameraModel,
+    generate_rays,
     make_camera,
     camera_ray_to_image_point,
     image_point_to_camera_ray,
@@ -38,6 +39,7 @@ __all__ = [
     "RollingShutterType",
     "UnscentedTransformParameters",
     "camera_ray_to_image_point",
+    "generate_rays",
     "image_point_to_camera_ray",
     "image_point_to_world_ray_shutter_pose",
     "interpolate_shutter_pose",

@@ -672,6 +672,37 @@ def image_point_to_world_ray_shutter_pose(
     return org * v, dirn * v, valid
 
 
+def generate_rays(
+    cam: CameraModel,
+    width: int,
+    height: int,
+    viewmats: Array,  # [..., C, 4, 4]
+    viewmats_rs: Optional[Array] = None,  # [..., C, 4, 4]
+) -> Array:
+    """World-space rays for every pixel center: [..., C, H, W, 6].
+
+    Parity: gsplat/cuda/_torch_impl_eval3d.py:_generate_rays — pixel centers
+    at (x+0.5, y+0.5), unprojected through the camera model and the
+    (optionally time-interpolated) shutter pose.
+    """
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(px, py, indexing="xy")  # [H, W]
+    pix = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [P, 2]
+
+    pose_start = viewmat_to_pose(viewmats)  # [..., C, 7]
+    pose_end = (
+        viewmat_to_pose(viewmats_rs) if viewmats_rs is not None else pose_start
+    )
+    B = pose_start.shape[:-1]
+    pix = jnp.broadcast_to(pix, B + pix.shape)  # [..., C, P, 2]
+    org, dirn, _valid = image_point_to_world_ray_shutter_pose(
+        cam, pix, pose_start, pose_end
+    )
+    rays = jnp.concatenate([org, dirn], axis=-1)  # [..., C, P, 6]
+    return rays.reshape(B + (height, width, 6))
+
+
 def world_point_to_image_point_shutter_pose(
     cam: CameraModel,
     world_points: Array,  # [..., C, M, 3]
