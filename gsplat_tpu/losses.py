@@ -271,3 +271,201 @@ def gaussian_z_scale_reg(z_scales: jax.Array, threshold: float) -> jax.Array:
 def out_of_bound_loss(positions: jax.Array, cuboid_dims: jax.Array) -> jax.Array:
     """relu(|p| - dims/2) mean over axes. Parity: losses.py:1141."""
     return jnp.mean(jnp.maximum(jnp.abs(positions) - cuboid_dims / 2.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Lidar losses (parity: gsplat/losses.py:474-641). Masked reductions use
+# weighted means ((v*m).sum()/max(m.sum(),1)) instead of boolean indexing so
+# they stay jit-compatible with static shapes.
+# ---------------------------------------------------------------------------
+
+_LOSS_FNS = None
+
+
+def _resolve_loss_fn(loss_fn):
+    """Name -> elementwise loss fn (parity: losses.py:_resolve_loss_fn)."""
+    global _LOSS_FNS
+    if _LOSS_FNS is None:
+        _LOSS_FNS = {
+            "l1": l1_loss,
+            "mse": mse_loss,
+            "huber": huber_loss,
+            "smooth_l1": smooth_l1_loss,
+            "bce": bce_loss,
+            "bce_clipped": bce_clipped,
+            "bce_with_logits": bce_with_logits_loss,
+        }
+    if callable(loss_fn):
+        return loss_fn
+    if loss_fn not in _LOSS_FNS:
+        raise ValueError(f"unknown loss_fn {loss_fn!r}")
+    return _LOSS_FNS[loss_fn]
+
+
+def _elementwise(fn, pred, target):
+    """Apply fn elementwise; l1/mse here reduce, so inline their cores."""
+    if fn is l1_loss:
+        return jnp.abs(pred - target)
+    if fn is mse_loss:
+        return (pred - target) ** 2
+    return fn(pred, target)
+
+
+def _masked_mean(v: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return jnp.mean(v)
+    m = mask.reshape(v.shape).astype(v.dtype)
+    return (v * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def lidar_distance_loss(
+    pred_distance: jax.Array,
+    gt_distance: jax.Array,
+    valid_mask: Optional[jax.Array] = None,
+    loss_fn="l1",
+) -> jax.Array:
+    """Loss on lidar hit distance in direct distance space (losses.py:474)."""
+    fn = _resolve_loss_fn(loss_fn)
+    v = _elementwise(fn, pred_distance.reshape(-1), gt_distance.reshape(-1))
+    return _masked_mean(v, valid_mask)
+
+
+def lidar_intensity_loss(
+    pred_intensity: jax.Array,
+    gt_intensity: jax.Array,
+    valid_mask: Optional[jax.Array] = None,
+    loss_fn="l1",
+) -> jax.Array:
+    """Loss on lidar return intensity (losses.py:513)."""
+    fn = _resolve_loss_fn(loss_fn)
+    v = _elementwise(fn, pred_intensity.reshape(-1), gt_intensity.reshape(-1))
+    return _masked_mean(v, valid_mask)
+
+
+def lidar_raydrop_loss(
+    pred_raydrop: jax.Array,
+    gt_raydrop: jax.Array,
+    valid_mask: Optional[jax.Array] = None,
+    loss_fn="bce_with_logits",
+) -> jax.Array:
+    """Loss on lidar ray-drop prediction (losses.py:549)."""
+    fn = _resolve_loss_fn(loss_fn)
+    v = _elementwise(
+        fn, pred_raydrop.reshape(-1), gt_raydrop.reshape(-1).astype(jnp.float32)
+    )
+    return _masked_mean(v, valid_mask)
+
+
+def lidar_background_loss(
+    pred_opacity: jax.Array,
+    background_mask: jax.Array,
+    valid_mask: Optional[jax.Array] = None,
+    loss_fn="bce",
+) -> jax.Array:
+    """Penalize opacity on background/sky lidar rays (losses.py:587).
+
+    Target is 0 for background rays, 1 for foreground.
+    """
+    fn = _resolve_loss_fn(loss_fn)
+    pred = jnp.clip(pred_opacity.reshape(-1), 0.0, 1.0)
+    target = (~background_mask.reshape(-1).astype(bool)).astype(jnp.float32)
+    v = _elementwise(fn, pred, target)
+    return _masked_mean(v, valid_mask)
+
+
+def binocular_disparity_l1(
+    pred_depth: jax.Array,
+    gt_depth: jax.Array,
+    mask: Optional[jax.Array] = None,
+    eps: float = 1e-7,
+) -> jax.Array:
+    """L1 in inverse-depth space; pairs valid only when BOTH depths are
+    (losses.py:227, the G-SHARP binocular branch)."""
+    valid_pred = jnp.abs(pred_depth) > eps
+    valid_gt = jnp.abs(gt_depth) > eps
+    pair = valid_pred & valid_gt
+    pred_inv = 1.0 / jnp.where(valid_pred, pred_depth, 1.0)
+    gt_inv = 1.0 / jnp.where(valid_gt, gt_depth, 1.0)
+    m = pair.astype(pred_depth.dtype)
+    if mask is not None:
+        m = m * mask.astype(pred_depth.dtype)
+    return masked_l1(pred_inv, gt_inv, m)
+
+
+def relu_sum(value: jax.Array, eps: float) -> jax.Array:
+    """relu(value - eps).sum() (losses.py:858)."""
+    return jnp.maximum(value - eps, 0.0).sum()
+
+
+def weights_reg(weights_list, dim: int = 1) -> jax.Array:
+    """Mean of squared weight norms (losses.py:871)."""
+    return jnp.mean(
+        jnp.concatenate([(w**2).sum(dim).reshape(-1) for w in weights_list])
+    )
+
+
+def identity_distance(
+    grid: jax.Array, num_rows: int = 3, num_cols: int = 4
+) -> jax.Array:
+    """Frobenius distance of an affine grid from identity (losses.py:884)."""
+    B = grid.shape[0]
+    rest = grid.shape[2:]
+    reshaped = grid.reshape(B, num_rows, num_cols, *rest)
+    eye = jnp.eye(num_rows, num_cols).reshape(
+        1, num_rows, num_cols, *([1] * len(rest))
+    )
+    diff = reshaped - eye
+    return jnp.sqrt((diff**2).sum(axis=(1, 2)))
+
+
+def total_variation_temporal(x: jax.Array, loss_mask: jax.Array) -> jax.Array:
+    """TV along the temporal (leading) dim (losses.py:906)."""
+    if x.shape[0] <= 1:
+        return jnp.zeros((1,), x.dtype)
+    tv_t = jnp.mean(jnp.diff(x, axis=0) ** 2, axis=(1, 2, 3, 4))
+    return tv_t * loss_mask
+
+
+class LinearLambdaScheduler:
+    """Linear loss-weight ramp between (start_step, start) and
+    (end_step, end) (parity: losses.py:931)."""
+
+    def __init__(self, start: float, end: float, start_step: int, end_step: int):
+        assert end_step >= start_step
+        self.start, self.end = float(start), float(end)
+        self.start_step, self.end_step = int(start_step), int(end_step)
+
+    def __call__(self, step) -> jax.Array:
+        t = (jnp.asarray(step, jnp.float32) - self.start_step) / max(
+            self.end_step - self.start_step, 1
+        )
+        t = jnp.clip(t, 0.0, 1.0)
+        return self.start + t * (self.end - self.start)
+
+
+def fused_gaussian_losses(
+    scales: jax.Array,  # [N, 3] post-activation
+    densities: jax.Array,  # [N]
+    z_scales: jax.Array,  # [N]
+    positions: jax.Array,  # [N, 3]
+    cuboid_dims: jax.Array,  # [N, 3]
+    z_scale_threshold: float = 0.0,
+    visibility: Optional[jax.Array] = None,
+):
+    """All four per-gaussian regularizers in one jitted call.
+
+    The reference fuses these in a CUDA kernel (GaussianLossesCUDA.cu:33-80
+    via losses_fused.py:FusedGaussianLosses); under XLA a single jit of the
+    four elementwise terms fuses to one pass automatically. Returns
+    (loss_scale, loss_density, loss_z_scale, loss_oob), each UNREDUCED
+    per-element like the CUDA op.
+    """
+    loss_scale = jnp.abs(scales)
+    loss_density = jnp.abs(densities)
+    if visibility is not None:
+        v = visibility.reshape(-1)
+        loss_scale = loss_scale * v[:, None]
+        loss_density = loss_density * v
+    loss_z = jnp.maximum(z_scales - z_scale_threshold, 0.0)
+    loss_oob = jnp.maximum(jnp.abs(positions) - cuboid_dims / 2.0, 0.0)
+    return loss_scale, loss_density, loss_z, loss_oob

@@ -100,6 +100,7 @@ def fully_fused_projection_ut(
     viewmats_rs: Optional[Array] = None,  # [..., C, 4, 4]
     global_z_order: bool = True,
     camera: Optional[CameraModel] = None,
+    lidar_coeffs=None,
 ) -> Tuple[Array, Array, Array, Array, Optional[Array]]:
     """UT projection: (radii int32 [..., C, N, 2], means2d, depths, conics,
     compensations|None). See module docstring for parity notes."""
@@ -123,6 +124,7 @@ def fully_fused_projection_ut(
             thin_prism_coeffs=thin_prism_coeffs,
             ftheta_coeffs=ftheta_coeffs,
             shutter_type=rolling_shutter,
+            lidar_coeffs=lidar_coeffs,
         )
 
     pose_start = viewmat_to_pose(viewmats)  # [..., C, 7]
@@ -226,11 +228,13 @@ def fully_fused_projection_ut(
     )
 
     valid_gaussian = valid_gaussian & (radius.max(-1) > radius_clip)
-    in_image = (
-        (mean2d + radius > 0.0)
-        & (mean2d - radius < jnp.asarray([width, height], dtype))
-    ).all(-1)
-    valid_gaussian = valid_gaussian & in_image
+    if camera_model != "lidar":
+        # lidar culls against its FOV inside the camera model
+        in_image = (
+            (mean2d + radius > 0.0)
+            & (mean2d - radius < jnp.asarray([width, height], dtype))
+        ).all(-1)
+        valid_gaussian = valid_gaussian & in_image
 
     radii = jnp.where(valid_gaussian[..., None], radius, 0.0).astype(jnp.int32)
     means2d = jnp.where(valid_gaussian[..., None], mean2d, 0.0)

@@ -162,6 +162,8 @@ def rasterization(
     viewmats_rs: Optional[jax.Array] = None,  # [..., C, 4, 4]
     rays: Optional[jax.Array] = None,  # [C, H, W, 6] (eval3d only)
     return_normals: bool = False,  # eval3d only
+    lidar_coeffs=None,  # sensors.lidars.LidarModel (camera_model="lidar")
+    global_z_order: bool = True,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize N 3D Gaussians to C image planes (optionally batched).
 
@@ -173,6 +175,17 @@ def rasterization(
     (defaults to 4 * total_cameras * N, rounded to the DMA chunk);
     `meta["isect_overflow"]` reports truncation so callers can re-jit larger.
     """
+    if camera_model == "lidar":
+        if lidar_coeffs is None:
+            raise ValueError("camera_model='lidar' requires lidar_coeffs")
+        if not (with_ut and with_eval3d):
+            raise ValueError(
+                "lidar rendering requires with_ut=True and with_eval3d=True "
+                "(parity: Rendering.cpp lidar path)"
+            )
+        # the render target is the sensor element grid
+        width = lidar_coeffs.n_columns
+        height = lidar_coeffs.n_rows
     if render_mode in _HIT_DIST_MODES and not with_eval3d:
         raise ValueError(
             f"hit-distance render mode {render_mode!r} requires "
@@ -251,6 +264,8 @@ def rasterization(
             ftheta_coeffs=ftheta_coeffs,
             rolling_shutter=rolling_shutter,
             viewmats_rs=viewmats_rs,
+            lidar_coeffs=lidar_coeffs,
+            global_z_order=global_z_order,
         )
     else:
         radii, means2d, depths, conics, compensations = fully_fused_projection(
@@ -331,7 +346,20 @@ def rasterization(
     if with_eval3d:
         # Ray-based 3D evaluation (parity: rendering.py eval3d branch over
         # RasterizeToPixelsFromWorld3DGS*; projection above supplies tiling).
-        if rays is None:
+        if camera_model == "lidar":
+            from .sensors.lidars import (
+                angle_extent_to_element_grid,
+                generate_lidar_rays,
+            )
+
+            if rays is None:
+                rays = generate_lidar_rays(lidar_coeffs, viewmats, viewmats_rs)
+            m2g, rdg = angle_extent_to_element_grid(
+                lidar_coeffs, means2d, radii
+            )
+            means2d_f = m2g.reshape(I, N, 2)
+            radii_f = rdg.reshape(I, N, 2)
+        elif rays is None:
             camera = make_camera(
                 camera_model,
                 width,

@@ -232,8 +232,8 @@ def _smallest_positive_root_1_axx3(a: Array, b: Array, c: Array) -> Array:
 
 def make_camera(
     camera_model: str,
-    width: int,
-    height: int,
+    width: int = 0,
+    height: int = 0,
     focal_lengths: Optional[Array] = None,  # [..., C, 2]
     principal_points: Optional[Array] = None,  # [..., C, 2]
     radial_coeffs: Optional[Array] = None,  # [..., C, <=6] / fisheye [..., C, 4]
@@ -242,9 +242,15 @@ def make_camera(
     ftheta_coeffs: Optional[FThetaCameraDistortionParameters] = None,
     shutter_type: RollingShutterType = RollingShutterType.GLOBAL,
     opts: CameraLinearParams = CameraLinearParams(),
-) -> CameraModel:
+    lidar_coeffs=None,
+):
     """Build a `CameraModel` (parity: _BaseCameraModel.create, including the
-    pinhole->opencv_pinhole promotion when any distortion is given)."""
+    pinhole->opencv_pinhole promotion when any distortion is given).
+    camera_model="lidar" returns the LidarModel from `lidar_coeffs`
+    directly (see sensors/lidars.py)."""
+    if camera_model == "lidar":
+        assert lidar_coeffs is not None, "lidar requires lidar_coeffs"
+        return lidar_coeffs
     assert principal_points is not None
     pp = jnp.asarray(principal_points, jnp.float32)
     B = pp.shape[:-1]
@@ -379,6 +385,10 @@ def check_image_bounds(cam: CameraModel, points_2d: Array, margin_factor: float)
 
 def shutter_relative_frame_time(cam: CameraModel, pixel_coords: Array) -> Array:
     """Per-pixel shutter time in [0, 1] (parity: _torch_cameras.py:424)."""
+    if cam.kind == "lidar":
+        from .lidars import lidar_shutter_relative_frame_time
+
+        return lidar_shutter_relative_frame_time(cam, pixel_coords)
     st = cam.shutter_type
     px, py = pixel_coords[..., 0], pixel_coords[..., 1]
     if st == RollingShutterType.GLOBAL:
@@ -430,6 +440,10 @@ def camera_ray_to_image_point(
 
     Returns (image_point [..., C, M, 2], valid [..., C, M]).
     """
+    if cam.kind == "lidar":
+        from .lidars import lidar_ray_to_image_point
+
+        return lidar_ray_to_image_point(cam, cam_ray, margin_factor)
     fl, pp = _fl_pp(cam)
     z = cam_ray[..., 2]
 
@@ -570,6 +584,10 @@ def image_point_to_camera_ray(
     cam: CameraModel, image_point: Array
 ) -> Tuple[Array, Array]:
     """Unproject pixels [..., C, M, 2] to unit camera rays [..., C, M, 3]."""
+    if cam.kind == "lidar":
+        from .lidars import lidar_image_point_to_ray
+
+        return lidar_image_point_to_ray(cam, image_point)
     fl, pp = _fl_pp(cam)
 
     if cam.kind == "pinhole":
@@ -717,7 +735,12 @@ def world_point_to_image_point_shutter_pose(
     pt_start, valid_start = camera_ray_to_image_point(
         cam, pose_world_points_to_camera_ray(ps, world_points), margin_factor
     )
-    if cam.shutter_type == RollingShutterType.GLOBAL:
+    shutter = (
+        RollingShutterType.ROLLING_LEFT_TO_RIGHT
+        if cam.kind == "lidar"
+        else cam.shutter_type
+    )
+    if shutter == RollingShutterType.GLOBAL or shutter_pose_end is shutter_pose_start:
         return pt_start, valid_start
 
     pe = shutter_pose_end[..., None, :]

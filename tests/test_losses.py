@@ -119,3 +119,77 @@ def test_misc_losses(imgs):
         - F.binary_cross_entropy_with_logits(torch.from_numpy(np.asarray(logits)), tb).item()
     ) < 1e-5
     assert float(losses.total_variation_loss(ja)) > 0
+
+
+def test_lidar_losses():
+    import numpy as np
+    from gsplat_tpu.losses import (
+        lidar_background_loss,
+        lidar_distance_loss,
+        lidar_intensity_loss,
+        lidar_raydrop_loss,
+        fused_gaussian_losses,
+    )
+
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.uniform(1, 10, 64).astype(np.float32))
+    gt = pred + 0.5
+    mask = jnp.asarray(rng.random(64) > 0.3)
+    # l1 distance with mask == weighted mean of |diff| over mask
+    v = float(lidar_distance_loss(pred, gt, mask))
+    assert abs(v - 0.5) < 1e-5
+    assert float(lidar_distance_loss(pred, gt, mask, loss_fn="mse")) > 0
+
+    inten = jnp.asarray(rng.uniform(0, 1, 64).astype(np.float32))
+    assert float(lidar_intensity_loss(inten, inten)) == 0.0
+
+    logits = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    labels = jnp.asarray((rng.random(64) > 0.5).astype(np.float32))
+    assert float(lidar_raydrop_loss(logits, labels)) > 0
+
+    opac = jnp.asarray(rng.uniform(0.01, 0.99, 64).astype(np.float32))
+    bg = jnp.asarray(rng.random(64) > 0.5)
+    assert float(lidar_background_loss(opac, bg, loss_fn="bce_clipped")) > 0
+
+    ls, ld, lz, lo = fused_gaussian_losses(
+        jnp.abs(jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))),
+        jnp.asarray(rng.uniform(0, 1, 16).astype(np.float32)),
+        jnp.asarray(rng.uniform(0, 1, 16).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32)),
+        jnp.full((16, 3), 2.0),
+        z_scale_threshold=0.5,
+    )
+    assert ls.shape == (16, 3) and ld.shape == (16,) and lo.shape == (16, 3)
+
+
+def test_misc_losses():
+    import numpy as np
+    from gsplat_tpu.losses import (
+        LinearLambdaScheduler,
+        binocular_disparity_l1,
+        identity_distance,
+        relu_sum,
+        total_variation_temporal,
+        weights_reg,
+    )
+
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.uniform(1, 5, (8, 8)).astype(np.float32))
+    assert float(binocular_disparity_l1(d, d)) == 0.0
+    d2 = d.at[0, 0].set(0.0)  # invalid pixel contributes 0
+    assert float(binocular_disparity_l1(d2, d)) < 1e-6
+
+    assert float(relu_sum(jnp.asarray([0.1, 0.5]), 0.2)) == pytest.approx(0.3)
+    assert float(weights_reg([jnp.ones((2, 3)), jnp.ones((1, 4))])) > 0
+
+    grid = jnp.tile(jnp.eye(3, 4).reshape(1, 12, 1, 1), (2, 1, 4, 4))
+    np.testing.assert_allclose(np.asarray(identity_distance(grid)), 0.0, atol=1e-6)
+
+    x = jnp.asarray(rng.normal(size=(3, 2, 2, 2, 2)).astype(np.float32))
+    tv = total_variation_temporal(x, jnp.ones(2))
+    assert tv.shape == (2,) and float(tv.min()) > 0
+
+    sched = LinearLambdaScheduler(0.0, 1.0, 10, 20)
+    assert float(sched(5)) == 0.0
+    assert float(sched(15)) == pytest.approx(0.5)
+    assert float(sched(30)) == 1.0
