@@ -1,3 +1,10 @@
+from .contributing import (
+    accumulate,
+    rasterize_contributing_gaussian_ids,
+    rasterize_num_contributing_gaussians,
+    rasterize_to_indices_in_range,
+    rasterize_top_contributing_gaussian_ids,
+)
 from .isect import (
     Isects,
     TileWorklist,
@@ -34,6 +41,11 @@ from .sh import eval_sh_bases, num_sh_bases, spherical_harmonics
 
 __all__ = [
     "ALPHA_THRESHOLD",
+    "accumulate",
+    "rasterize_contributing_gaussian_ids",
+    "rasterize_num_contributing_gaussians",
+    "rasterize_to_indices_in_range",
+    "rasterize_top_contributing_gaussian_ids",
     "GAUSSIAN_EXTEND",
     "Isects",
     "MAX_ALPHA",

@@ -1,0 +1,145 @@
+"""Contributing-ID ops + rasterize_to_indices_in_range vs the oracle.
+
+Mirrors the reference's tests for rasterize_num/contributing/top ops and
+the indices-in-range + accumulate() compositional path
+(tests/test_basic.py around :2345 and the nerfacc-based oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.ops.contributing import (
+    accumulate,
+    rasterize_contributing_gaussian_ids,
+    rasterize_num_contributing_gaussians,
+    rasterize_to_indices_in_range,
+    rasterize_top_contributing_gaussian_ids,
+)
+from gsplat_tpu.ops.isect import isect_offset_encode, isect_tiles
+from gsplat_tpu.ops.rasterize_ref import rasterize_to_pixels_ref
+
+W, H, TS = 40, 35, 16
+MAX_RANGE = 512
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(5)
+    I, N, D = 2, 150, 3
+    tw, th = -(-W // TS), -(-H // TS)
+    means2d = rng.uniform(-5, 45, (I, N, 2)).astype(np.float32)
+    L = rng.standard_normal((I, N, 2, 2)).astype(np.float32) * 0.4
+    cov = L @ L.transpose(0, 1, 3, 2) + 0.1 * np.eye(2, dtype=np.float32)
+    inv = np.linalg.inv(cov)
+    conics = np.stack([inv[..., 0, 0], inv[..., 0, 1], inv[..., 1, 1]], -1)
+    colors = rng.random((I, N, D)).astype(np.float32)
+    opacities = np.clip(rng.random((I, N)) * 1.2, 0, 1).astype(np.float32)
+    radii = np.full((I, N, 2), 5, np.int32)
+    radii[:, ::7] = 0
+    depths = (rng.random((I, N)) * 5 + 0.1).astype(np.float32)
+    isect = isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        TS, tw, th, capacity=2048,
+    )
+    offsets = isect_offset_encode(isect.tile_keys, I, tw, th)
+    return dict(
+        means2d=jnp.asarray(means2d),
+        conics=jnp.asarray(conics.astype(np.float32)),
+        colors=jnp.asarray(colors),
+        opacities=jnp.asarray(opacities),
+        offsets=offsets,
+        flatten_ids=isect.flatten_ids,
+        n_isects=isect.n_isects,
+    )
+
+
+def test_num_and_ids_consistent_with_oracle(scene):
+    s = scene
+    counts, alphas = rasterize_num_contributing_gaussians(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["flatten_ids"], W, H, TS, s["n_isects"], MAX_RANGE,
+    )
+    _, ref_a = rasterize_to_pixels_ref(
+        s["means2d"], s["conics"], s["colors"], s["opacities"], W, H, TS,
+        s["offsets"], s["flatten_ids"], s["n_isects"], max_range=MAX_RANGE,
+    )
+    np.testing.assert_allclose(
+        np.asarray(alphas), np.asarray(ref_a[..., 0]), atol=1e-6
+    )
+    K = int(counts.max())
+    assert K > 3
+    ids, weights = rasterize_contributing_gaussian_ids(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["flatten_ids"], W, H, TS, s["n_isects"], MAX_RANGE, K,
+    )
+    # per-pixel valid counts match; weights reproduce the alpha totals
+    np.testing.assert_array_equal(
+        np.asarray((ids >= 0).sum(-1)), np.asarray(counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(weights.sum(-1)), np.asarray(alphas), atol=1e-5
+    )
+    # reconstruct colors from (ids, weights): matches the oracle render
+    cl = np.asarray(s["colors"])
+    idn = np.asarray(ids)
+    wn = np.asarray(weights)
+    img_ids = np.arange(2)[:, None, None, None]
+    recon = (wn[..., None] * cl[img_ids, np.maximum(idn, 0)]).sum(-2)
+    ref_c, _ = rasterize_to_pixels_ref(
+        s["means2d"], s["conics"], s["colors"], s["opacities"], W, H, TS,
+        s["offsets"], s["flatten_ids"], s["n_isects"], max_range=MAX_RANGE,
+    )
+    np.testing.assert_allclose(recon, np.asarray(ref_c), atol=1e-5)
+
+
+def test_top_contributors_subset(scene):
+    s = scene
+    counts, _ = rasterize_num_contributing_gaussians(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["flatten_ids"], W, H, TS, s["n_isects"], MAX_RANGE,
+    )
+    K = int(counts.max())
+    ids_all, w_all = rasterize_contributing_gaussian_ids(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["flatten_ids"], W, H, TS, s["n_isects"], MAX_RANGE, K,
+    )
+    k = 4
+    ids_top, w_top = rasterize_top_contributing_gaussian_ids(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["flatten_ids"], W, H, TS, s["n_isects"], MAX_RANGE, k,
+    )
+    # top-k weights = the k largest weights of the full list, and the ids
+    # are front-to-back (weights of selected slots in original order)
+    wa = np.sort(np.asarray(w_all), axis=-1)[..., ::-1][..., :k]
+    wt = np.sort(np.asarray(w_top), axis=-1)[..., ::-1]
+    np.testing.assert_allclose(wt, wa, atol=1e-6)
+    # front-to-back: the underlying slot order is preserved -> weights of
+    # the top-k in output order appear in the same order within w_all
+    assert ids_top.shape == (2, H, W, k)
+
+
+def test_indices_in_range_accumulate_matches_full_render(scene):
+    s = scene
+    ref_c, ref_a = rasterize_to_pixels_ref(
+        s["means2d"], s["conics"], s["colors"], s["opacities"], W, H, TS,
+        s["offsets"], s["flatten_ids"], s["n_isects"], max_range=MAX_RANGE,
+    )
+    render = jnp.zeros((2, H, W, 3))
+    alphas = jnp.zeros((2, H, W, 1))
+    batch = 1  # one 256-isect block per iteration
+    for step in range(0, 2, batch):
+        trans = 1.0 - alphas[..., 0]
+        gs, pix, img, valid = rasterize_to_indices_in_range(
+            step, step + batch, trans,
+            s["means2d"], s["conics"], s["opacities"], W, H, TS,
+            s["offsets"], s["flatten_ids"], s["n_isects"],
+        )
+        r_step, a_step = accumulate(
+            s["means2d"], s["conics"], s["opacities"], s["colors"],
+            gs, pix, img, valid, W, H,
+        )
+        render = render + r_step * trans[..., None]
+        alphas = alphas + a_step * trans[..., None]
+    # two-stage composition reorders f32 adds vs the one-shot oracle
+    np.testing.assert_allclose(np.asarray(alphas), np.asarray(ref_a), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(render), np.asarray(ref_c), atol=5e-5)
