@@ -32,9 +32,11 @@ from .projection import (
     fully_fused_projection,
     proj,
 )
+from .projection_packed import compact_visible, fully_fused_projection_packed
 from .projection_ut import fully_fused_projection_ut
 from .projection2d import fully_fused_projection_2dgs
 from .rasterize2d import rasterize_to_pixels_2dgs
+from .rasterize_sparse import rasterize_to_pixels_sparse
 from .rasterize2d_ref import rasterize_to_pixels_2dgs_ref
 from .rasterize_ref import rasterize_to_pixels_ref
 from .sh import eval_sh_bases, num_sh_bases, spherical_harmonics
@@ -55,7 +57,9 @@ __all__ = [
     "build_tile_worklist",
     "eval_sh_bases",
     "fully_fused_projection",
+    "compact_visible",
     "fully_fused_projection_2dgs",
+    "fully_fused_projection_packed",
     "fully_fused_projection_ut",
     "isect_offset_encode",
     "isect_tiles",
@@ -69,6 +73,7 @@ __all__ = [
     "quat_slerp",
     "quat_to_rotmat",
     "rasterize_to_pixels_2dgs",
+    "rasterize_to_pixels_sparse",
     "rasterize_to_pixels_2dgs_ref",
     "rasterize_to_pixels_ref",
     "rotmat_to_quat",

@@ -175,3 +175,57 @@ def test_projection_grads_finite(small_scene):
     )
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
+
+
+def test_packed_projection_matches_dense():
+    """Packed outputs = dense outputs at the visible (camera, gaussian)
+    entries, camera-major order (parity: ProjectionEWA3DGSPacked.cu)."""
+    import numpy as np
+    from gsplat_tpu.ops.projection import fully_fused_projection
+    from gsplat_tpu.ops.projection_packed import fully_fused_projection_packed
+
+    rng = np.random.default_rng(21)
+    N, C = 200, 3
+    means = jnp.asarray(
+        np.c_[rng.uniform(-2, 2, (N, 2)), rng.uniform(1, 8, N)].astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.01, 0.1, (N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 1, N).astype(np.float32))
+    vm = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (C, 1, 1)))
+    Ks = jnp.asarray(
+        np.tile(np.array([[60, 0, 48], [0, 60, 32], [0, 0, 1]], np.float32), (C, 1, 1))
+    )
+    W, H = 96, 64
+
+    radii, m2, dep, con, _ = fully_fused_projection(
+        means, None, quats, scales, vm, Ks, W, H, opacities=opac
+    )
+    packed = fully_fused_projection_packed(
+        means, None, quats, scales, vm, Ks, W, H, capacity=1024, opacities=opac
+    )
+    valid = np.asarray((radii > 0).all(-1))
+    nnz = int(packed["nnz"])
+    assert nnz == valid.sum() and nnz > 50
+    assert not bool(packed["overflow"])
+    sel = np.asarray(packed["valid"])
+    cam = np.asarray(packed["camera_ids"])[sel]
+    gs = np.asarray(packed["gaussian_ids"])[sel]
+    # camera-major ordering
+    assert (np.diff(cam) >= 0).all()
+    np.testing.assert_allclose(
+        np.asarray(packed["means2d"])[sel], np.asarray(m2)[cam, gs], atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed["depths"])[sel], np.asarray(dep)[cam, gs], atol=0
+    )
+    # indptr rows = per-camera counts
+    counts = valid.sum(1)
+    np.testing.assert_array_equal(
+        np.diff(np.asarray(packed["indptr"])), counts
+    )
+    # overflow flag trips on small capacity
+    small = fully_fused_projection_packed(
+        means, None, quats, scales, vm, Ks, W, H, capacity=8, opacities=opac
+    )
+    assert bool(small["overflow"])
