@@ -1,3 +1,10 @@
 from .components import GaussianScene, Scene, Stage
+from .inference import GaussianInferenceScene, render_scene
 
-__all__ = ["GaussianScene", "Scene", "Stage"]
+__all__ = [
+    "GaussianInferenceScene",
+    "GaussianScene",
+    "Scene",
+    "Stage",
+    "render_scene",
+]

@@ -1,0 +1,232 @@
+"""GaussianInferenceScene: packed inference-only scenes + render_scene().
+
+Behavior parity (independently implemented):
+  - gsplat/scene/components/gaussian_inference_scene.py:261-530 — build from
+    a training scene (activations applied: normalize/exp/sigmoid), from
+    pre-activated tensors, activation-contract checks, packed planar
+    storage, SH compression modes, release().
+  - gsplat/experimental/render/functional/render_scene.py — the
+    inference-only render entry over the packed scene (the HiGS renderer,
+    gsplat/experimental/render/kernels/cuda/csrc/gaussian_inference/).
+
+TPU-native redesign: the CUDA HiGS path packs EVERYTHING fp16 and runs a
+macro-tile warp renderer with half2 math — a CUDA throughput artifact. On
+TPU the fast-inference choices are dtype/layout ones: splat attributes are
+packed bf16 (VPU-native half type, f32 range so no clamp pass is needed —
+the reference's fp16 range-clamp warnings become finite-ness checks),
+positions stay f32 (bf16's 8-bit mantissa would quantize world space), and
+rendering reuses the standard Pallas forward kernel without building the
+autodiff graph (`render_scene` wraps everything in stop_gradient; the fwd
+Pallas kernel already early-exits on saturation). Scene packing needs no
+native kernel (the reference's gaussian_scene_pack.cpp/.cuh): XLA fuses
+the cast+concat pack into one pass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .components import GaussianScene, Scene
+
+_SH_COMPRESSION = ("none", "16b")
+
+
+class GaussianInferenceScene(Scene):
+    """Packed, activation-applied, inference-only gaussian scene."""
+
+    def __init__(self, id: str) -> None:
+        self.id = id
+        self._packed: Optional[Dict[str, Any]] = None
+        self.sh_degree: Optional[int] = None
+        self.sh_compression: str = "none"
+
+    # -- Scene contract ----------------------------------------------------
+    def put(self, name: str, component: Any) -> None:
+        raise TypeError("GaussianInferenceScene is immutable after build")
+
+    def get(self, name: str) -> Any:
+        assert self._packed is not None, "scene is empty"
+        return self._packed[name]
+
+    @property
+    def is_empty(self) -> bool:
+        return self._packed is None
+
+    def release(self) -> None:
+        """Drop the packed tensors (parity: gaussian_inference_scene.release)."""
+        self._packed = None
+
+    @property
+    def num_gaussians(self) -> int:
+        assert self._packed is not None
+        return self._packed["means"].shape[0]
+
+    # -- builders ----------------------------------------------------------
+    @classmethod
+    def from_gaussian_scene(
+        cls, scene: GaussianScene, *, id: str, sh_compression: str = "none"
+    ) -> "GaussianInferenceScene":
+        """Build from a raw training scene; applies normalize/exp/sigmoid
+        (parity: gaussian_inference_scene.py:from_gaussian_scene)."""
+        splats = scene.splats
+        if "features" in splats:
+            raise ValueError(
+                "appearance-optimized scenes are not supported; bake RGB and "
+                "use from_gaussian_tensors"
+            )
+        means = jnp.asarray(splats["means"], jnp.float32)
+        q = jnp.asarray(splats["quats"], jnp.float32)
+        quats = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        scales = jnp.exp(jnp.asarray(splats["scales"], jnp.float32))
+        opacities = jax.nn.sigmoid(jnp.asarray(splats["opacities"], jnp.float32))
+        colors = splats.get("colors")
+        if colors is None:
+            sh0 = splats.get("sh0")
+            if sh0 is None:
+                raise ValueError("scene must contain 'colors' or 'sh0'")
+            shN = splats.get("shN")
+            colors = (
+                jnp.concatenate([sh0, shN], axis=1) if shN is not None else sh0
+            )
+        colors = jnp.asarray(colors, jnp.float32)
+        sh_degree = None
+        if colors.ndim == 3:
+            k = colors.shape[1]
+            w = math.isqrt(k)
+            if w * w != k:
+                raise ValueError(f"SH basis dim must be a perfect square, got {k}")
+            sh_degree = w - 1
+        for name, a in (("quats", quats), ("scales", scales), ("opacities", opacities)):
+            if not bool(jnp.isfinite(a).all()):
+                raise ValueError(f"{name} contain NaN/Inf after activation")
+        return cls._build(
+            means, quats, scales, opacities, colors, sh_degree, sh_compression, id
+        )
+
+    @classmethod
+    def from_gaussian_tensors(
+        cls,
+        means,
+        quats,
+        scales,
+        opacities,
+        colors,
+        sh_degree: Optional[int],
+        sh_compression: str = "none",
+        *,
+        id: str,
+    ) -> "GaussianInferenceScene":
+        """Build from pre-activated tensors, checking activation contracts."""
+        means = jnp.asarray(means, jnp.float32)
+        quats = jnp.asarray(quats, jnp.float32)
+        scales = jnp.asarray(scales, jnp.float32)
+        opacities = jnp.asarray(opacities, jnp.float32)
+        colors = jnp.asarray(colors, jnp.float32)
+        if means.ndim != 2 or means.shape[-1] != 3:
+            raise ValueError(f"means must be [N, 3], got {means.shape}")
+        if not bool((scales > 0).all()):
+            raise ValueError("scales must be positive (apply exp first)")
+        if not bool(((opacities >= 0) & (opacities <= 1)).all()):
+            raise ValueError("opacities must be in [0, 1] (apply sigmoid first)")
+        qn = jnp.linalg.norm(quats, axis=-1)
+        if not bool(jnp.allclose(qn, 1.0, atol=1e-3)):
+            raise ValueError("quats must be unit-norm (wxyz)")
+        if sh_degree is not None and sh_degree >= 0:
+            expected = (sh_degree + 1) ** 2
+            if colors.ndim != 3 or colors.shape[1] != expected:
+                raise ValueError(
+                    f"sh_degree={sh_degree} requires colors [N, {expected}, 3]"
+                )
+        return cls._build(
+            means, quats, scales, opacities, colors, sh_degree, sh_compression, id
+        )
+
+    @classmethod
+    def _build(
+        cls, means, quats, scales, opacities, colors, sh_degree, sh_compression, id
+    ) -> "GaussianInferenceScene":
+        if sh_compression not in _SH_COMPRESSION:
+            raise ValueError(
+                f"sh_compression must be one of {_SH_COMPRESSION}, got "
+                f"{sh_compression!r} (the CUDA '32b' uint8-pack mode is a "
+                "half2-ALU artifact; bf16 is the TPU half format)"
+            )
+        self = cls(id)
+        half = jnp.bfloat16
+        packed = dict(
+            means=means,  # f32: world positions keep full mantissa
+            quats=quats.astype(half),
+            scales=scales.astype(half),
+            opacities=opacities.astype(half),
+        )
+        if sh_compression == "16b":
+            packed["colors"] = colors.astype(half)
+        else:
+            packed["colors"] = colors
+        self._packed = packed
+        self.sh_degree = sh_degree
+        self.sh_compression = sh_compression
+        return self
+
+
+def render_scene(
+    scene: GaussianInferenceScene,
+    *,
+    viewmat,
+    K,
+    width: int,
+    height: int,
+    render_mode: str = "RGB",
+    backgrounds=None,
+    **kwargs,
+):
+    """Inference-only render of a packed scene.
+
+    Parity: gsplat/experimental/render/functional/render_scene.py —
+    returns (colors [C,H,W,D], alphas [C,H,W,1], meta with
+    metadata['render_path']='inference'). Gradients are severed
+    (stop_gradient) and params are unpacked bf16->f32 at the boundary; the
+    Pallas forward kernel (with its whole-tile saturation early-exit) is
+    the TPU analog of the HiGS macro-tile inference rasterizer.
+    """
+    from ..rendering import rasterization
+
+    if not isinstance(scene, GaussianInferenceScene):
+        raise TypeError(
+            f"render_scene requires a GaussianInferenceScene; got "
+            f"{type(scene).__name__}"
+        )
+    assert not scene.is_empty, "scene has been released"
+    p = scene._packed
+    viewmat = jnp.asarray(viewmat, jnp.float32)
+    K = jnp.asarray(K, jnp.float32)
+    if viewmat.ndim == 2:
+        viewmat = viewmat[None]
+    if K.ndim == 2:
+        K = K[None]
+    f32 = lambda x: jax.lax.stop_gradient(jnp.asarray(x, jnp.float32))
+    colors = f32(p["colors"])
+    # rasterization() expects raw (pre-activation) opacities? No — it takes
+    # post-activation opacities/scales directly; the packed scene stores
+    # activated values.
+    render, alphas, meta = rasterization(
+        f32(p["means"]),
+        f32(p["quats"]),
+        f32(p["scales"]),
+        f32(p["opacities"]),
+        colors,
+        viewmat,
+        K,
+        width,
+        height,
+        sh_degree=scene.sh_degree,
+        render_mode=render_mode,
+        backgrounds=backgrounds,
+        **kwargs,
+    )
+    meta["render_path"] = "inference"
+    return render, alphas, meta

@@ -1,7 +1,9 @@
 """Scene/Stage, color correction, init utils, relocation export."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsplat_tpu.color_correct import color_correct_affine, color_correct_quadratic
 from gsplat_tpu.init_utils import knn_scale_init, multi_frame_depth_unprojection
@@ -74,3 +76,67 @@ def test_knn_scale_init():
     s = knn_scale_init(pts)
     assert s.shape == (100, 3)
     assert np.isfinite(s).all()
+
+
+def test_gaussian_inference_scene_roundtrip():
+    """Packing + inference render: matches the training-path render within
+    bf16 attribute quantization."""
+    import numpy as np
+    import pytest
+    from gsplat_tpu.rendering import rasterization
+    from gsplat_tpu.scene import (
+        GaussianInferenceScene,
+        GaussianScene,
+        render_scene,
+    )
+
+    rng = np.random.default_rng(3)
+    N = 128
+    means = np.c_[rng.uniform(-1, 1, (N, 2)), rng.uniform(2, 6, N)].astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    log_scales = np.log(rng.uniform(0.02, 0.1, (N, 3))).astype(np.float32)
+    opac_logits = rng.normal(size=N).astype(np.float32)
+    sh0 = rng.uniform(-0.5, 0.5, (N, 1, 3)).astype(np.float32)
+    shN = (0.01 * rng.normal(size=(N, 3, 3))).astype(np.float32)
+
+    scene = GaussianScene(
+        "train",
+        dict(
+            means=jnp.asarray(means), quats=jnp.asarray(quats),
+            scales=jnp.asarray(log_scales), opacities=jnp.asarray(opac_logits),
+            sh0=jnp.asarray(sh0), shN=jnp.asarray(shN),
+        ),
+    )
+    inf = GaussianInferenceScene.from_gaussian_scene(
+        scene, id="inf", sh_compression="16b"
+    )
+    assert inf.sh_degree == 1 and inf.num_gaussians == N
+
+    vm = jnp.eye(4)[None]
+    K = jnp.asarray([[[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]]])
+    img, alpha, meta = render_scene(inf, viewmat=vm, K=K, width=64, height=48)
+    assert meta["render_path"] == "inference"
+    assert img.shape == (1, 48, 64, 3)
+
+    qn = quats / np.linalg.norm(quats, axis=-1, keepdims=True)
+    ref, ref_a, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(qn), jnp.exp(jnp.asarray(log_scales)),
+        jax.nn.sigmoid(jnp.asarray(opac_logits)),
+        jnp.concatenate([jnp.asarray(sh0), jnp.asarray(shN)], axis=1),
+        vm, K, 64, 48, sh_degree=1,
+    )
+    diff = np.abs(np.asarray(img) - np.asarray(ref))
+    assert np.quantile(diff, 0.99) < 0.03, np.quantile(diff, 0.99)
+
+    # release drops storage; rendering a released scene fails
+    inf.release()
+    assert inf.is_empty
+    with pytest.raises(AssertionError):
+        render_scene(inf, viewmat=vm, K=K, width=8, height=8)
+
+    # contract checks fire
+    with pytest.raises(ValueError):
+        GaussianInferenceScene.from_gaussian_tensors(
+            means, qn, -np.ones((N, 3), np.float32),
+            np.clip(opac_logits, 0, 1), sh0[:, 0], None, id="bad",
+        )
