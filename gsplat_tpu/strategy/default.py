@@ -41,6 +41,10 @@ class DefaultStrategy:
     pause_refine_after_reset: int = 0
     absgrad: bool = False
     revised_opacity: bool = False
+    # state keys holding per-gaussian sidecar rows that must follow
+    # topology edits (children inherit parents) — e.g. DynamicStrategy's
+    # dynamic_mask
+    sidecar_state_keys: Tuple[str, ...] = ()
 
     def initialize_state(
         self, cap: int, scene_scale: float = 1.0
@@ -120,14 +124,24 @@ class DefaultStrategy:
         if step < self.refine_scale2d_stop_iter and "radii" in state:
             is_split |= (state["radii"] > self.grow_scale2d) & alive
 
-        params, opt_moments, alive = ops.duplicate(
-            params, opt_moments, alive, is_dupli
-        )
-        # gaussians added by duplication are not split (reference :318-326)
-        params, opt_moments, alive = ops.split(
-            params, opt_moments, alive, is_split, key,
-            revised_opacity=self.revised_opacity,
-        )
+        sidecar = {k: state[k] for k in self.sidecar_state_keys if k in state}
+        if sidecar:
+            params, opt_moments, alive, sidecar = ops.duplicate(
+                params, opt_moments, alive, is_dupli, extra=sidecar
+            )
+            params, opt_moments, alive, sidecar = ops.split(
+                params, opt_moments, alive, is_split, key,
+                revised_opacity=self.revised_opacity, extra=sidecar,
+            )
+        else:
+            params, opt_moments, alive = ops.duplicate(
+                params, opt_moments, alive, is_dupli
+            )
+            # gaussians added by duplication are not split (reference :318-326)
+            params, opt_moments, alive = ops.split(
+                params, opt_moments, alive, is_split, key,
+                revised_opacity=self.revised_opacity,
+            )
 
         # prune (reference recomputes scales on the grown set, :343-377)
         scale_max = jnp.exp(params["scales"]).max(axis=-1)
@@ -143,6 +157,7 @@ class DefaultStrategy:
 
         # reset running stats (reference :214-217)
         state = dict(state)
+        state.update(sidecar)
         state["grad2d"] = jnp.zeros_like(state["grad2d"])
         state["count"] = jnp.zeros_like(state["count"])
         if "radii" in state:

@@ -67,15 +67,21 @@ def duplicate(
     opt_moments: Any,  # pytree(s) shaped like params (e.g. (mu, nu))
     alive: jax.Array,  # [cap] bool
     mask: jax.Array,  # [cap] bool — gaussians to duplicate (subset of alive)
-) -> Tuple[Dict[str, jax.Array], Any, jax.Array]:
+    extra: Any = None,  # optional per-gaussian sidecar pytree ([cap, ...])
+):
     """Copy masked gaussians into free slots. Parity: ops.py:duplicate (:141).
 
     New slots get zeroed optimizer moments (reference optimizer_fn).
+    `extra` rows are copied parent->child (e.g. DynamicStrategy's
+    dynamic_mask — children inherit the parent flag).
     """
     dst, src, _ = _ranked_pairs(mask & alive, ~alive)
     params = _tree_write(params, dst, src)
     opt_moments = _tree_zero_at(opt_moments, dst)
     alive = alive.at[dst].set(True, mode="drop")
+    if extra is not None:
+        extra = _tree_write(extra, dst, src)
+        return params, opt_moments, alive, extra
     return params, opt_moments, alive
 
 
@@ -86,7 +92,8 @@ def split(
     mask: jax.Array,
     key: jax.Array,
     revised_opacity: bool = False,
-) -> Tuple[Dict[str, jax.Array], Any, jax.Array]:
+    extra: Any = None,  # optional per-gaussian sidecar pytree ([cap, ...])
+):
     """Split masked gaussians into two samples. Parity: ops.py:split (:175).
 
     The reference removes the original and appends two sampled copies; here
@@ -137,6 +144,9 @@ def split(
     opt_moments = _tree_zero_at(opt_moments, sel_idx)
     opt_moments = _tree_zero_at(opt_moments, dst)
     alive = alive.at[dst].set(True, mode="drop")
+    if extra is not None:
+        extra = _tree_write(extra, dst, src)  # children inherit parent rows
+        return params, opt_moments, alive, extra
     return params, opt_moments, alive
 
 
