@@ -216,11 +216,26 @@ class Parser:
         if not os.path.isdir(sparse):
             sparse = os.path.join(self.data_dir, "sparse")
         if os.path.exists(os.path.join(sparse, "cameras.bin")):
-            cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-            images = read_images_binary(os.path.join(sparse, "images.bin"))
-            xyz, rgb, err = read_points3d_binary(
-                os.path.join(sparse, "points3D.bin")
-            )
+            # prefer the native C++ parser (gsplat_tpu/csrc/io.cpp): the
+            # record-streamed COLMAP binaries are interpreter-bound in
+            # Python; fall back transparently when no compiler exists
+            from gsplat_tpu import io_native
+
+            if io_native.native_available():
+                rc, ri, rp = (
+                    io_native.read_cameras_binary,
+                    io_native.read_images_binary,
+                    io_native.read_points3d_binary,
+                )
+            else:
+                rc, ri, rp = (
+                    read_cameras_binary,
+                    read_images_binary,
+                    read_points3d_binary,
+                )
+            cams = rc(os.path.join(sparse, "cameras.bin"))
+            images = ri(os.path.join(sparse, "images.bin"))
+            xyz, rgb, err = rp(os.path.join(sparse, "points3D.bin"))
         else:
             cams = read_cameras_text(os.path.join(sparse, "cameras.txt"))
             images = read_images_text(os.path.join(sparse, "images.txt"))

@@ -205,7 +205,9 @@ def expand_sort_align(
     operands = (keys, depth_keys, flat_ids) + tuple(
         fields[i] for i in range(R)
     )
-    s = jax.lax.sort(operands, num_keys=2, is_stable=True)
+    # unstable: (tile, depth) ties can only come from the same gaussian,
+    # which emits at most one slot per tile — ordering is already unique
+    s = jax.lax.sort(operands, num_keys=2, is_stable=False)
     keys_s, flat_s = s[0], s[2]
     fields_s = s[3:]
 
@@ -242,7 +244,8 @@ def reduce_slot_grads(
     A = ids_aligned.shape[0]
     ids_sort = jnp.where(valid, ids_aligned, E)
     operands = (ids_sort,) + tuple(v_aligned[i] for i in range(n_rows))
-    s = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    # unstable: within-gaussian run order only permutes the f32 summation
+    s = jax.lax.sort(operands, num_keys=1, is_stable=False)
     v_rows = jnp.stack(s[1:], axis=1)  # [A, n_rows]
     if extra_abs:
         v_rows = jnp.concatenate(
