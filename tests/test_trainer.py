@@ -106,3 +106,22 @@ def test_trainer_2dgs_smoke(tiny_npz, tmp_path, monkeypatch):
     params, alive = runner.train()
     assert int(np.asarray(alive).sum()) >= 150
     assert np.isfinite(np.asarray(params["means"])[np.asarray(alive)]).all()
+
+
+def test_av_trainer_smoke():
+    """Multi-camera + lidar joint training drops the loss (the analog of
+    the reference's av_trainer smoke tests with fake scenes)."""
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["av_trainer.py", "--max-steps", "10"]
+    try:
+        import os
+        examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+        sys.path.insert(0, examples)
+        runpy.run_path(
+            os.path.join(examples, "av_trainer.py"), run_name="__main__"
+        )
+    finally:
+        sys.argv = argv
