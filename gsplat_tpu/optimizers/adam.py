@@ -67,9 +67,15 @@ def adam_update(
     new_p, new_m, new_v = {}, {}, {}
     for k in params:
         lr = lrs[k] if isinstance(lrs, dict) else lrs
-        new_p[k], new_m[k], new_v[k] = upd(
-            params[k], grads[k], state.mu[k], state.nu[k], lr
+        # values may themselves be pytrees (e.g. hexplane plane-grid lists)
+        res = jax.tree.map(
+            lambda p, g, m, v: upd(p, g, m, v, lr),
+            params[k], grads[k], state.mu[k], state.nu[k],
         )
+        istup = lambda t: isinstance(t, tuple)
+        new_p[k] = jax.tree.map(lambda t: t[0], res, is_leaf=istup)
+        new_m[k] = jax.tree.map(lambda t: t[1], res, is_leaf=istup)
+        new_v[k] = jax.tree.map(lambda t: t[2], res, is_leaf=istup)
     return new_p, AdamState(mu=new_m, nu=new_v, count=count)
 
 

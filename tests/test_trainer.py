@@ -125,3 +125,21 @@ def test_av_trainer_smoke():
         )
     finally:
         sys.argv = argv
+
+
+def test_dynamic_surgical_trainer_smoke():
+    """HexPlane+DeformNet dynamic trainer runs and reduces loss."""
+    import os
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["dynamic_surgical_trainer.py", "--max-steps", "30"]
+    try:
+        examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+        runpy.run_path(
+            os.path.join(examples, "dynamic_surgical_trainer.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv
