@@ -297,3 +297,95 @@ def accumulate(
         weights, ray, num_segments=I * HW
     ).reshape(I, image_height, image_width, 1)
     return render, alphas
+
+
+def _surfel_worklist_alphas(
+    means2d, ray_transforms, opacities, tile_offsets, flatten_ids, n_isects,
+    image_width, image_height, tile_size, range_start, range_end,
+):
+    """2DGS surfel response over worklist slots (parity:
+    _torch_impl_2dgs.py:177-188 ray-splat intersection, min of 3D and
+    2D low-pass sigma)."""
+    I, N = means2d.shape[0], means2d.shape[1]
+    th, tw = tile_offsets.shape[-2], tile_offsets.shape[-1]
+    m2 = means2d.reshape(I * N, 2)
+    M = ray_transforms.reshape(I * N, 9)
+    op = opacities.reshape(I * N)
+
+    ys = jnp.arange(image_height, dtype=jnp.int32)
+    xs = jnp.arange(image_width, dtype=jnp.int32)
+    ty, tx = ys // tile_size, xs // tile_size
+    offsets_flat = tile_offsets.reshape(I, th * tw)
+    bounds = jnp.concatenate(
+        [offsets_flat.reshape(-1), jnp.asarray(n_isects, jnp.int32).reshape(1)]
+    )
+    tile_lin = ty[:, None] * tw + tx[None, :]
+    tile_flat = (
+        jnp.arange(I, dtype=jnp.int32)[:, None, None] * (th * tw) + tile_lin[None]
+    )
+    start = bounds[tile_flat]
+    end = bounds[tile_flat + 1]
+    r = jnp.arange(range_start, range_end, dtype=jnp.int32)
+    slot = start[..., None] + r
+    in_range = slot < end[..., None]
+    slot_c = jnp.minimum(slot, flatten_ids.shape[0] - 1)
+    g = flatten_ids[slot_c]
+
+    px = xs.astype(means2d.dtype) + 0.5
+    py = ys.astype(means2d.dtype) + 0.5
+    pxb = px[None, None, :, None]
+    pyb = py[None, :, None, None]
+    hu = [pxb * M[g, 6 + k] - M[g, 0 + k] for k in range(3)]
+    hv = [pyb * M[g, 6 + k] - M[g, 3 + k] for k in range(3)]
+    cx = hu[1] * hv[2] - hu[2] * hv[1]
+    cy = hu[2] * hv[0] - hu[0] * hv[2]
+    cz = hu[0] * hv[1] - hu[1] * hv[0]
+    cz_safe = jnp.where(cz == 0.0, 1.0, cz)
+    su, sv = cx / cz_safe, cy / cz_safe
+    sigma3 = su * su + sv * sv
+    dx = m2[g, 0] - pxb
+    dy = m2[g, 1] - pyb
+    sigma2 = 2.0 * (dx * dx + dy * dy)  # FILTER_INV_SQUARE_2DGS
+    sigma = 0.5 * jnp.minimum(sigma2, sigma3)
+    alpha = jnp.minimum(MAX_ALPHA, op[g] * jnp.exp(-sigma))
+    gate = (cz != 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range
+    return jnp.where(gate, alpha, 0.0), gate, g
+
+
+def rasterize_to_indices_in_range_2dgs(
+    range_start: int,
+    range_end: int,
+    transmittances: jax.Array,  # [I, H, W]
+    means2d: jax.Array,  # [I, N, 2]
+    ray_transforms: jax.Array,  # [I, N, 3, 3] (or [I, N, 9])
+    opacities: jax.Array,  # [I, N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    isect_offsets: jax.Array,
+    flatten_ids: jax.Array,
+    n_isects: jax.Array,
+):
+    """2DGS counterpart of `rasterize_to_indices_in_range`
+    (parity: _wrapper.py:rasterize_to_indices_in_range_2dgs :2988); same
+    static-shape (ids, pixel, image, valid) contract, ranges in blocks of
+    tile_size^2 intersections."""
+    I = means2d.shape[0]
+    block = tile_size * tile_size
+    alpha, gate, g = _surfel_worklist_alphas(
+        means2d, ray_transforms, opacities, isect_offsets, flatten_ids,
+        n_isects, image_width, image_height, tile_size,
+        range_start * block, range_end * block,
+    )
+    _, contribute, _ = _weights_from_alphas(alpha, t0=transmittances)
+    live = gate & contribute
+    N = means2d.shape[1]
+    HW = image_height * image_width
+    pix = jnp.arange(HW, dtype=jnp.int32).reshape(1, image_height, image_width, 1)
+    img = jnp.arange(I, dtype=jnp.int32).reshape(I, 1, 1, 1)
+    return (
+        jnp.broadcast_to(g % N, live.shape).reshape(-1),
+        jnp.broadcast_to(pix, live.shape).reshape(-1),
+        jnp.broadcast_to(img, live.shape).reshape(-1),
+        live.reshape(-1),
+    )

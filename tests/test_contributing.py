@@ -143,3 +143,33 @@ def test_indices_in_range_accumulate_matches_full_render(scene):
     # two-stage composition reorders f32 adds vs the one-shot oracle
     np.testing.assert_allclose(np.asarray(alphas), np.asarray(ref_a), atol=5e-5)
     np.testing.assert_allclose(np.asarray(render), np.asarray(ref_c), atol=5e-5)
+
+
+def test_indices_in_range_2dgs_runs():
+    """2DGS indices op: contributing set is plausible and gated by the
+    surfel response (full parity exercised via the 2DGS ref in test_2dgs)."""
+    from gsplat_tpu.ops.contributing import rasterize_to_indices_in_range_2dgs
+
+    rng = np.random.default_rng(8)
+    I, N = 1, 60
+    means2d = jnp.asarray(rng.uniform(0, 40, (I, N, 2)).astype(np.float32))
+    # ray transforms of roughly screen-aligned surfels
+    M = np.zeros((I, N, 3, 3), np.float32)
+    M[..., 0, 0] = 0.2
+    M[..., 1, 1] = 0.2
+    M[..., 2, 2] = 1.0
+    M[..., 2, 0] = -means2d[..., 0] * 0.0
+    M = jnp.asarray(M)
+    opac = jnp.asarray(rng.uniform(0.5, 1, (I, N)).astype(np.float32))
+    radii = jnp.full((I, N, 2), 6, jnp.int32)
+    depths = jnp.asarray(rng.uniform(1, 5, (I, N)).astype(np.float32))
+    tw, th = -(-W // TS), -(-H // TS)
+    isect = isect_tiles(means2d, radii, depths, TS, tw, th, capacity=2048)
+    offsets = isect_offset_encode(isect.tile_keys, I, tw, th)
+    trans = jnp.ones((I, H, W))
+    gs, pix, img, valid = rasterize_to_indices_in_range_2dgs(
+        0, 4, trans, means2d, M, opac, W, H, TS, offsets,
+        isect.flatten_ids, isect.n_isects,
+    )
+    assert int(valid.sum()) > 0
+    assert int(gs[valid].max()) < N
