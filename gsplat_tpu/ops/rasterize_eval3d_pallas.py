@@ -300,7 +300,8 @@ def _bwd_kernel(
     def _():
         dma_in(0, 0).start()
 
-        def body(c, _):
+        def body(carry):
+            c, _ = carry
             slot = jax.lax.rem(c, 2)
 
             @pl.when(c + 1 < n_ch)
@@ -462,19 +463,54 @@ def _bwd_kernel(
 
             dma_out(slot, c).start()
 
-            t_ref[:] = t_prev * jnp.min(
+            t_new = t_prev * jnp.min(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
+            t_ref[:] = t_new
             e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
-            return ()
+            return c + 1, jnp.max(t_new)
 
-        jax.lax.fori_loop(0, n_ch, body, ())
+        def cond(carry):
+            c, tmax = carry
+            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        @pl.when(n_ch >= 2)
+        # early exit: saturated pixels yield exactly-zero grads downstream
+        f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+        @pl.when(f < n_ch)
         def _():
-            dma_out(jax.lax.rem(n_ch, 2), n_ch - 2).wait()
+            dma_in(jax.lax.rem(f, 2), f).wait()
 
-        dma_out(jax.lax.rem(n_ch - 1, 2), n_ch - 1).wait()
+        @pl.when(f >= 2)
+        def _():
+            dma_out(jax.lax.rem(f, 2), f - 2).wait()
+
+        @pl.when(f >= 1)
+        def _():
+            dma_out(jax.lax.rem(f - 1, 2), f - 1).wait()
+
+        @pl.when(f < n_ch)
+        def _():
+            vbuf_ref[0] = jnp.zeros_like(vbuf_ref[0])
+            vbuf_ref[1] = jnp.zeros_like(vbuf_ref[1])
+
+            def zbody(c, _):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c - 2 >= f)
+                def _():
+                    dma_out(slot, c - 2).wait()
+
+                dma_out(slot, c).start()
+                return ()
+
+            jax.lax.fori_loop(f, n_ch, zbody, ())
+
+            @pl.when(n_ch - 2 >= f)
+            def _():
+                dma_out(jax.lax.rem(n_ch, 2), n_ch - 2).wait()
+
+            dma_out(jax.lax.rem(n_ch - 1, 2), n_ch - 1).wait()
 
     v_rays_ref[0] = jnp.transpose(vray_ref[:, 0:6], (1, 0))
 

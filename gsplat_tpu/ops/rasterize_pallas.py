@@ -357,7 +357,8 @@ def _bwd_kernel(
     def _():
         start_super_in(0, 0)
 
-        def body(s, _):
+        def body(carry):
+            s, _ = carry
             slot = jax.lax.rem(s, 2)
 
             @pl.when(s + 1 < n_sup)
@@ -451,20 +452,59 @@ def _bwd_kernel(
             start_super_out(slot, s)
 
             # update carries
-            t_ref[:] = t_prev * jnp.min(
+            t_new = t_prev * jnp.min(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
+            t_ref[:] = t_new
             e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
-            return ()
+            return s + 1, jnp.max(t_new)
 
-        jax.lax.fori_loop(0, n_sup, body, ())
+        def cond(carry):
+            s, tmax = carry
+            return (s < n_sup) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        # drain outstanding grad writes
-        @pl.when(n_sup >= 2)
+        # early exit like the forward: once every pixel saturates, all
+        # later slots have live == 0 and therefore exactly-zero gradients
+        # (the replay analog of the CUDA last_ids cutoff)
+        f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+        # wait the possibly-inflight input prefetch for super f
+        @pl.when(f < n_sup)
         def _():
-            wait_super_out(jax.lax.rem(n_sup, 2), n_sup - 2)
+            wait_super_in(jax.lax.rem(f, 2), f)
 
-        wait_super_out(jax.lax.rem(n_sup - 1, 2), n_sup - 1)
+        # drain outstanding compute grad writes (supers f-2, f-1)
+        @pl.when(f >= 2)
+        def _():
+            wait_super_out(jax.lax.rem(f, 2), f - 2)
+
+        @pl.when(f >= 1)
+        def _():
+            wait_super_out(jax.lax.rem(f - 1, 2), f - 1)
+
+        # zero-fill the skipped tail so the reduction reads exact zeros
+        @pl.when(f < n_sup)
+        def _():
+            vbuf_ref[0] = jnp.zeros_like(vbuf_ref[0])
+            vbuf_ref[1] = jnp.zeros_like(vbuf_ref[1])
+
+            def zbody(s, _):
+                slot = jax.lax.rem(s, 2)
+
+                @pl.when(s - 2 >= f)
+                def _():
+                    wait_super_out(slot, s - 2)
+
+                start_super_out(slot, s)
+                return ()
+
+            jax.lax.fori_loop(f, n_sup, zbody, ())
+
+            @pl.when(n_sup - 2 >= f)
+            def _():
+                wait_super_out(jax.lax.rem(n_sup, 2), n_sup - 2)
+
+            wait_super_out(jax.lax.rem(n_sup - 1, 2), n_sup - 1)
 
 
 # ---------------------------------------------------------------------------
