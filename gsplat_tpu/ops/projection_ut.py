@@ -101,6 +101,7 @@ def fully_fused_projection_ut(
     global_z_order: bool = True,
     camera: Optional[CameraModel] = None,
     lidar_coeffs=None,
+    external_distortion=None,
 ) -> Tuple[Array, Array, Array, Array, Optional[Array]]:
     """UT projection: (radii int32 [..., C, N, 2], means2d, depths, conics,
     compensations|None). See module docstring for parity notes."""
@@ -125,6 +126,7 @@ def fully_fused_projection_ut(
             ftheta_coeffs=ftheta_coeffs,
             shutter_type=rolling_shutter,
             lidar_coeffs=lidar_coeffs,
+            external_distortion=external_distortion,
         )
 
     pose_start = viewmat_to_pose(viewmats)  # [..., C, 7]

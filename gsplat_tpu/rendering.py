@@ -164,6 +164,7 @@ def rasterization(
     return_normals: bool = False,  # eval3d only
     lidar_coeffs=None,  # sensors.lidars.LidarModel (camera_model="lidar")
     global_z_order: bool = True,
+    external_distortion=None,  # sensors.external windshield params (UT only)
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize N 3D Gaussians to C image planes (optionally batched).
 
@@ -266,6 +267,7 @@ def rasterization(
             viewmats_rs=viewmats_rs,
             lidar_coeffs=lidar_coeffs,
             global_z_order=global_z_order,
+            external_distortion=external_distortion,
         )
     else:
         radii, means2d, depths, conics, compensations = fully_fused_projection(
@@ -375,6 +377,7 @@ def rasterization(
                 thin_prism_coeffs=thin_prism_coeffs,
                 ftheta_coeffs=ftheta_coeffs,
                 shutter_type=rolling_shutter,
+                external_distortion=external_distortion,
             )
             rays = generate_rays(camera, width, height, viewmats, viewmats_rs)
         render_colors, render_alphas, render_normals, aux = (

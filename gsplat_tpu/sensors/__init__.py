@@ -16,6 +16,11 @@ from .params import (
     RollingShutterType,
     UnscentedTransformParameters,
 )
+from .external import (
+    BivariateWindshieldModelParameters,
+    ExternalDistortionModelParameters,
+    apply_external_distortion,
+)
 from .cameras import (
     CameraModel,
     generate_rays,
@@ -32,7 +37,10 @@ from .cameras import (
 )
 
 __all__ = [
+    "BivariateWindshieldModelParameters",
     "CameraLinearParams",
+    "ExternalDistortionModelParameters",
+    "apply_external_distortion",
     "CameraModel",
     "FThetaCameraDistortionParameters",
     "FThetaPolynomialType",

@@ -175,6 +175,9 @@ class CameraModel:
     ftheta_p2a: Optional[Array] = None  # [..., C, 6]
     ftheta_a2p: Optional[Array] = None  # [..., C, 6]
     ftheta_dref: Optional[Array] = None  # [..., C, 5]
+    # external ray-space warp applied before (forward) / after (inverse)
+    # the base model (sensors/external.py, windshield model)
+    external_distortion: Optional[object] = None
     opts: CameraLinearParams = CameraLinearParams()
 
 
@@ -243,6 +246,7 @@ def make_camera(
     shutter_type: RollingShutterType = RollingShutterType.GLOBAL,
     opts: CameraLinearParams = CameraLinearParams(),
     lidar_coeffs=None,
+    external_distortion=None,
 ):
     """Build a `CameraModel` (parity: _BaseCameraModel.create, including the
     pinhole->opencv_pinhole promotion when any distortion is given).
@@ -260,7 +264,10 @@ def make_camera(
         assert focal_lengths is not None
         fl = jnp.asarray(focal_lengths, dtype)
         if radial_coeffs is None and tangential_coeffs is None and thin_prism_coeffs is None:
-            return CameraModel("pinhole", width, height, shutter_type, fl, pp, opts=opts)
+            return CameraModel(
+                "pinhole", width, height, shutter_type, fl, pp,
+                external_distortion=external_distortion, opts=opts,
+            )
         rad = jnp.zeros(B + (6,), dtype)
         if radial_coeffs is not None:
             rc = jnp.asarray(radial_coeffs, dtype)
@@ -278,14 +285,15 @@ def make_camera(
         return CameraModel(
             "opencv_pinhole", width, height, shutter_type, fl, pp,
             radial_coeffs=rad, tangential_coeffs=tan, thin_prism_coeffs=tp,
-            opts=opts,
+            external_distortion=external_distortion, opts=opts,
         )
 
     if camera_model == "ortho":
         assert focal_lengths is not None
         return CameraModel(
             "ortho", width, height, shutter_type,
-            jnp.asarray(focal_lengths, dtype), pp, opts=opts,
+            jnp.asarray(focal_lengths, dtype), pp,
+            external_distortion=external_distortion, opts=opts,
         )
 
     if camera_model == "fisheye":
@@ -335,7 +343,8 @@ def make_camera(
         return CameraModel(
             "fisheye", width, height, shutter_type, fl, pp,
             radial_coeffs=k, fisheye_fwd_poly=fwd, fisheye_dfwd_poly=dfwd,
-            fisheye_approx_bwd=approx_bwd, max_angle=max_angle, opts=opts,
+            fisheye_approx_bwd=approx_bwd, max_angle=max_angle,
+            external_distortion=external_distortion, opts=opts,
         )
 
     if camera_model == "ftheta":
@@ -363,7 +372,7 @@ def make_camera(
             "ftheta", width, height, shutter_type, fl, pp,
             ftheta_reference_poly=ft.reference_poly, ftheta_linear_cde=cde,
             ftheta_p2a=p2a, ftheta_a2p=a2p, ftheta_dref=dref,
-            max_angle=max_angle,
+            max_angle=max_angle, external_distortion=external_distortion,
             opts=dataclasses.replace(opts, newton_iterations=3),
         )
 
@@ -444,6 +453,10 @@ def camera_ray_to_image_point(
         from .lidars import lidar_ray_to_image_point
 
         return lidar_ray_to_image_point(cam, cam_ray, margin_factor)
+    if cam.external_distortion is not None:
+        from .external import apply_external_distortion
+
+        cam_ray = apply_external_distortion(cam.external_distortion, cam_ray)
     fl, pp = _fl_pp(cam)
     z = cam_ray[..., 2]
 
@@ -588,6 +601,22 @@ def image_point_to_camera_ray(
         from .lidars import lidar_image_point_to_ray
 
         return lidar_image_point_to_ray(cam, image_point)
+    if cam.external_distortion is not None:
+        from .external import apply_external_distortion
+
+        ray, valid = _image_point_to_camera_ray_base(cam, image_point)
+        return (
+            apply_external_distortion(
+                cam.external_distortion, ray, inverse=True
+            ),
+            valid,
+        )
+    return _image_point_to_camera_ray_base(cam, image_point)
+
+
+def _image_point_to_camera_ray_base(
+    cam: CameraModel, image_point: Array
+) -> Tuple[Array, Array]:
     fl, pp = _fl_pp(cam)
 
     if cam.kind == "pinhole":

@@ -316,3 +316,59 @@ def test_rasterization_with_ut_end_to_end():
     # the bulk, not per-pixel identity.
     assert np.quantile(diff, 0.95) < 0.05, np.quantile(diff, 0.95)
     assert diff.mean() < 0.01, diff.mean()
+
+
+def test_external_windshield_distortion():
+    """Bivariate windshield warp: identity polys are a no-op; a real warp
+    roundtrips through its inverse; UT projection accepts the model."""
+    from gsplat_tpu.sensors.external import (
+        BivariateWindshieldModelParameters,
+        apply_external_distortion,
+        eval_bivariate_poly,
+        pad_coefficients_to_max_order,
+    )
+
+    rng = np.random.default_rng(17)
+    rays = jnp.asarray(rng.normal(size=(50, 3)).astype(np.float32))
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    rays = rays.at[:, 2].set(jnp.abs(rays[:, 2]) + 0.3)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+    ident = BivariateWindshieldModelParameters.identity()
+    out = apply_external_distortion(ident, rays)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rays), atol=1e-5)
+
+    # mild warp: P_h = 1.02 phi + 0.01 theta; inverse ~= (phi - .01 theta)/1.02
+    warp = BivariateWindshieldModelParameters(
+        horizontal_poly=(0.0, 1.02, 0.01),
+        vertical_poly=(0.0, 0.0, 1.0),
+        horizontal_poly_inverse=(0.0, 1.0 / 1.02, -0.01 / 1.02),
+        vertical_poly_inverse=(0.0, 0.0, 1.0),
+    )
+    warped = apply_external_distortion(warp, rays)
+    assert float(jnp.abs(warped - rays).max()) > 1e-3  # actually warps
+    back = apply_external_distortion(warp, warped, inverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rays), atol=2e-3)
+
+    # triangular padding layout: order-2 poly evaluates exactly
+    c = pad_coefficients_to_max_order([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    # P(x,y) = 1 + 2x + 3x^2 + y(4 + 5x) + 6y^2
+    v = float(eval_bivariate_poly(jnp.asarray(c), jnp.asarray(0.5), jnp.asarray(0.25)))
+    expect = 1 + 2*0.5 + 3*0.25 + 0.25*(4 + 5*0.5) + 6*0.0625
+    assert abs(v - expect) < 1e-6, (v, expect)
+
+    # end-to-end: UT projection with the windshield warp runs + differs
+    # from the unwarped projection
+    means, quats, scales, opac = _scene(N=64, seed=18)
+    vm = _poses(seed=19)
+    radii_w, m2_w, *_ = fully_fused_projection_ut(
+        means, quats, scales, opac, vm, _Ks(), W, H,
+        external_distortion=warp,
+    )
+    radii_0, m2_0, *_ = fully_fused_projection_ut(
+        means, quats, scales, opac, vm, _Ks(), W, H,
+    )
+    both = np.asarray((radii_w.max(-1) > 0) & (radii_0.max(-1) > 0))
+    assert both.sum() > 20
+    d = np.abs(np.asarray(m2_w) - np.asarray(m2_0))[both]
+    assert d.max() > 0.5  # the warp visibly moves projections
