@@ -102,3 +102,127 @@ def rasterize_to_pixels_sparse(
     if backgrounds is not None:
         render = render + t_final[:, None] * backgrounds[image_ids]
     return render, (1.0 - t_final)[:, None]
+
+
+def _sparse_worklist_alphas(
+    means2d, conics, opacities, pixels, image_ids,
+    image_width, image_height, tile_size, isect_offsets, flatten_ids,
+    n_isects, max_range,
+):
+    """Per-requested-pixel gated alphas + flat ids over worklist slots."""
+    I, N = means2d.shape[0], means2d.shape[1]
+    th, tw = isect_offsets.shape[-2], isect_offsets.shape[-1]
+    m2 = means2d.reshape(I * N, 2)
+    cn = conics.reshape(I * N, 3)
+    op = opacities.reshape(I * N)
+    py_i = pixels[:, 0].astype(jnp.int32)
+    px_i = pixels[:, 1].astype(jnp.int32)
+    offsets_flat = isect_offsets.reshape(I * th * tw)
+    bounds = jnp.concatenate(
+        [offsets_flat, jnp.asarray(n_isects, jnp.int32).reshape(1)]
+    )
+    tile_flat = (
+        image_ids.astype(jnp.int32) * (th * tw)
+        + (py_i // tile_size) * tw + (px_i // tile_size)
+    )
+    start = bounds[tile_flat]
+    end = bounds[tile_flat + 1]
+    r = jnp.arange(max_range, dtype=jnp.int32)
+    slot = start[:, None] + r
+    in_range = slot < end[:, None]
+    g = flatten_ids[jnp.minimum(slot, flatten_ids.shape[0] - 1)]
+    px = px_i.astype(means2d.dtype) + 0.5
+    py = py_i.astype(means2d.dtype) + 0.5
+    dx = m2[g, 0] - px[:, None]
+    dy = m2[g, 1] - py[:, None]
+    sigma = (
+        0.5 * (cn[g, 0] * dx * dx + cn[g, 2] * dy * dy) + cn[g, 1] * dx * dy
+    )
+    alpha = jnp.minimum(MAX_ALPHA, op[g] * jnp.exp(-sigma))
+    gate = (sigma >= 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range
+    return jnp.where(gate, alpha, 0.0), gate, g
+
+
+def _sparse_weights(alpha):
+    one_m = 1.0 - alpha
+    cp_incl = jnp.cumprod(one_m, axis=-1)
+    cp_excl = cp_incl / one_m
+    contribute = cp_incl > TRANSMITTANCE_THRESHOLD
+    weights = alpha * cp_excl * contribute
+    t_final = jnp.min(jnp.where(contribute, cp_incl, 1.0), axis=-1)
+    return weights, contribute, t_final
+
+
+def rasterize_num_contributing_gaussians_sparse(
+    means2d, conics, opacities, pixels, image_ids,
+    image_width, image_height, tile_size, isect_offsets, flatten_ids,
+    n_isects, max_range,
+):
+    """(counts int32 [P], alphas [P]) at the requested pixels
+    (parity: _wrapper.py:rasterize_num_contributing_gaussians_sparse :1550;
+    the CUDA layout tensors are unnecessary here — see module docstring)."""
+    alpha, gate, _ = _sparse_worklist_alphas(
+        means2d, conics, opacities, pixels, image_ids, image_width,
+        image_height, tile_size, isect_offsets, flatten_ids, n_isects,
+        max_range,
+    )
+    _, contribute, t_final = _sparse_weights(alpha)
+    return (
+        jnp.sum(gate & contribute, axis=-1).astype(jnp.int32),
+        1.0 - t_final,
+    )
+
+
+def rasterize_contributing_gaussian_ids_sparse(
+    means2d, conics, opacities, pixels, image_ids,
+    image_width, image_height, tile_size, isect_offsets, flatten_ids,
+    n_isects, max_range, max_contributors,
+):
+    """(ids int32 [P, K] -1-padded front-to-back, weights [P, K])
+    (parity: _wrapper.py:rasterize_contributing_gaussian_ids_sparse :1665)."""
+    alpha, gate, g = _sparse_worklist_alphas(
+        means2d, conics, opacities, pixels, image_ids, image_width,
+        image_height, tile_size, isect_offsets, flatten_ids, n_isects,
+        max_range,
+    )
+    weights, contribute, _ = _sparse_weights(alpha)
+    live = gate & contribute
+    order = jnp.argsort(~live, axis=-1, stable=True)
+    ids_s = jnp.take_along_axis(g, order, axis=-1)[:, :max_contributors]
+    w_s = jnp.take_along_axis(weights, order, axis=-1)[:, :max_contributors]
+    live_s = jnp.take_along_axis(live, order, axis=-1)[:, :max_contributors]
+    N = means2d.shape[1]
+    return (
+        jnp.where(live_s, ids_s % N, -1).astype(jnp.int32),
+        jnp.where(live_s, w_s, 0.0),
+    )
+
+
+def rasterize_top_contributing_gaussian_ids_sparse(
+    means2d, conics, opacities, pixels, image_ids,
+    image_width, image_height, tile_size, isect_offsets, flatten_ids,
+    n_isects, max_range, num_depth_samples,
+):
+    """Top-K contributors by weight at the requested pixels, front-to-back
+    (parity: _wrapper.py:rasterize_top_contributing_gaussian_ids_sparse)."""
+    alpha, gate, g = _sparse_worklist_alphas(
+        means2d, conics, opacities, pixels, image_ids, image_width,
+        image_height, tile_size, isect_offsets, flatten_ids, n_isects,
+        max_range,
+    )
+    weights, contribute, _ = _sparse_weights(alpha)
+    live = gate & contribute
+    w = jnp.where(live, weights, -1.0)
+    topw, topi = jax.lax.top_k(w, num_depth_samples)
+    order = jnp.argsort(
+        jnp.where(topw > 0.0, topi, jnp.iinfo(jnp.int32).max), axis=-1
+    )
+    topi = jnp.take_along_axis(topi, order, axis=-1)
+    topw = jnp.take_along_axis(topw, order, axis=-1)
+    sel = jnp.take_along_axis(g, topi, axis=-1)
+    N = means2d.shape[1]
+    valid = topw > 0.0
+    return (
+        jnp.where(valid, sel % N, -1).astype(jnp.int32),
+        jnp.where(valid, topw, 0.0),
+    )

@@ -102,3 +102,64 @@ def test_sparse_gradients_match_dense(scene):
         np.testing.assert_allclose(
             np.asarray(gs), np.asarray(gd), atol=2e-5 * scale
         )
+
+
+def test_sparse_contributing_ops_match_dense(scene):
+    from gsplat_tpu.ops.contributing import (
+        rasterize_contributing_gaussian_ids,
+        rasterize_num_contributing_gaussians,
+        rasterize_top_contributing_gaussian_ids,
+    )
+    from gsplat_tpu.ops.rasterize_sparse import (
+        rasterize_contributing_gaussian_ids_sparse,
+        rasterize_num_contributing_gaussians_sparse,
+        rasterize_top_contributing_gaussian_ids_sparse,
+    )
+
+    s = scene
+    pix = np.asarray(s["pixels"])
+    img = np.asarray(s["image_ids"])
+    counts_d, alphas_d = rasterize_num_contributing_gaussians(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["isect"].flatten_ids, W, H, TS, s["isect"].n_isects, 512,
+    )
+    counts_s, alphas_s = rasterize_num_contributing_gaussians_sparse(
+        s["means2d"], s["conics"], s["opacities"], s["pixels"],
+        s["image_ids"], W, H, TS, s["offsets"], s["isect"].flatten_ids,
+        s["isect"].n_isects, 512,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts_s), np.asarray(counts_d)[img, pix[:, 0], pix[:, 1]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(alphas_s),
+        np.asarray(alphas_d)[img, pix[:, 0], pix[:, 1]], atol=1e-6,
+    )
+    K = int(counts_d.max())
+    ids_d, w_d = rasterize_contributing_gaussian_ids(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["isect"].flatten_ids, W, H, TS, s["isect"].n_isects, 512, K,
+    )
+    ids_s, w_s = rasterize_contributing_gaussian_ids_sparse(
+        s["means2d"], s["conics"], s["opacities"], s["pixels"],
+        s["image_ids"], W, H, TS, s["offsets"], s["isect"].flatten_ids,
+        s["isect"].n_isects, 512, K,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ids_s), np.asarray(ids_d)[img, pix[:, 0], pix[:, 1]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_s), np.asarray(w_d)[img, pix[:, 0], pix[:, 1]], atol=1e-6
+    )
+    t_d = rasterize_top_contributing_gaussian_ids(
+        s["means2d"], s["conics"], s["opacities"], s["offsets"],
+        s["isect"].flatten_ids, W, H, TS, s["isect"].n_isects, 512, 4,
+    )
+    t_s = rasterize_top_contributing_gaussian_ids_sparse(
+        s["means2d"], s["conics"], s["opacities"], s["pixels"],
+        s["image_ids"], W, H, TS, s["offsets"], s["isect"].flatten_ids,
+        s["isect"].n_isects, 512, 4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_s[0]), np.asarray(t_d[0])[img, pix[:, 0], pix[:, 1]]
+    )
