@@ -23,6 +23,12 @@ TPU-native redesign of the reference CUDA rasterizer
     happens outside the kernel as a sorted segment reduction — deterministic,
     no atomics (a correctness upgrade over the CUDA `atomicAdd` path).
 
+The associative per-chunk formulation here (partial (T, c) folds composed
+by cumulative products) is the same reformulation as the reference's
+ParallelBatch eval3d renderer (SURVEY N19,
+RasterizeToPixelsFromWorld3DGSParallelBatchFwd.cu:101-133) — on TPU it is
+the baseline design rather than an optional backend.
+
 Compositing semantics match RasterizeToPixels3DGSDevice.cuh exactly:
 sigma/alpha gates, MAX_ALPHA clamp, transmittance threshold with the
 saturating gaussian excluded, background blended with the final
