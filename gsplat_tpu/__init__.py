@@ -63,7 +63,7 @@ from .sensors import (
     UnscentedTransformParameters,
 )
 from .sensors.lidars import LidarModel, SpinningDirection, make_lidar
-from .strategy import DefaultStrategy, MCMCStrategy
+from .strategy import DefaultStrategy, MCMCStrategy, Strategy
 
 __version__ = "0.1.0"
 
@@ -110,6 +110,7 @@ __all__ = [
     "Scene",
     "SpinningDirection",
     "Stage",
+    "Strategy",
     "UnscentedTransformParameters",
     "accumulate",
     "adam_init",

@@ -1,5 +1,6 @@
 from . import ops
+from .base import Strategy
 from .default import DefaultStrategy
 from .mcmc import MCMCStrategy
 
-__all__ = ["DefaultStrategy", "MCMCStrategy", "ops"]
+__all__ = ["DefaultStrategy", "MCMCStrategy", "Strategy", "ops"]
