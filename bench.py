@@ -41,13 +41,16 @@ def main():
     means, quats, scales, opac, colors = map(
         jnp.asarray, (means, quats, scales, opac, colors)
     )
-    cap = 12 * 1024 * 1024
+    # tight-intersection counts on this scene: ~7.8M isects, ~2.0M
+    # row-records (the pipeline is visibility-compacted; capacities bound
+    # the visible working set, not I*N*tiles)
+    cap = 9 * 1024 * 1024
 
     def render(*args):
         c, a, meta = rasterization(
             *args, viewmats, Ks, W, H,
             near_plane=0.01, far_plane=100.0, radius_clip=3.0,
-            isect_capacity=cap,
+            isect_capacity=cap, row_capacity=3 * 1024 * 1024,
         )
         return c, a, meta["isect_overflow"]
 

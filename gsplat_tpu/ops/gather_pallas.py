@@ -352,3 +352,204 @@ def align_rows(
 
 def _round_up_int(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Kernel A2: two-window emission expansion (row-record geometry + per-
+# gaussian fields).  Used by the tight-intersection 3DGS path: the per-tile-
+# row interval records carry only geometry, and render fields are selected
+# straight from the per-gaussian table through a second windowed one-hot —
+# fields are never materialized at row-record granularity in HBM.
+# ---------------------------------------------------------------------------
+
+# table_rr row indices (f32, [9, R_pad]):
+RR_CUMEX_HI = 0  # exclusive slot cumsum over row records, hi 20 bits
+RR_CUMEX_LO = 1
+RR_CUMIN_HI = 2
+RR_CUMIN_LO = 3
+RR_X0 = 4  # first covered tile column of the row interval
+RR_TY = 5  # tile row
+RR_IM = 6  # image id (== n_images for dummy records => sentinel keys)
+RR_GID_HI = 7  # source gaussian row in [0, E)
+RR_GID_LO = 8
+RR_ROWS = 9
+
+# table_g row 0 is the depth; rows 1.. are the render fields.
+
+
+def _expand2_kernel(
+    # scalar prefetch
+    win1_ref,  # [K] int32 row-record window bases (multiples of LANE)
+    win2_ref,  # [K] int32 gaussian window bases (multiples of LANE)
+    nslots_ref,  # [1] int32 live emission slots
+    # inputs
+    table_rr_hbm,  # [9, R_pad] f32 in HBM
+    table_g_hbm,  # [F2, E_pad] f32 in HBM
+    # outputs
+    fields_ref,  # (r_pad, CH) f32
+    # scratch
+    buf1_ref,  # (2, 9, W_A)
+    buf2_ref,  # (2, F2, W_A)
+    sem1,
+    sem2,
+    *,
+    n_render: int,
+    tile_w: int,
+    tiles_per_im: int,
+    sentinel: int,
+):
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    def dma1(slot, cc):
+        off = pl.multiple_of(win1_ref[cc], LANE)
+        return pltpu.make_async_copy(
+            table_rr_hbm.at[:, pl.ds(off, W_A)], buf1_ref.at[slot],
+            sem1.at[slot],
+        )
+
+    def dma2(slot, cc):
+        off = pl.multiple_of(win2_ref[cc], LANE)
+        return pltpu.make_async_copy(
+            table_g_hbm.at[:, pl.ds(off, W_A)], buf2_ref.at[slot],
+            sem2.at[slot],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma1(0, 0).start()
+        dma2(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < n_c)
+    def _():
+        dma1(1 - slot, c + 1).start()
+        dma2(1 - slot, c + 1).start()
+
+    dma1(slot, c).wait()
+    dma2(slot, c).wait()
+    win1 = buf1_ref[slot]  # (9, W_A)
+    win2 = buf2_ref[slot]  # (F2, W_A)
+    slot0 = c * CH
+
+    s_col = slot0 + jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)  # (CH,1)
+    cum_ex = _recombine(win1[RR_CUMEX_HI : RR_CUMEX_HI + 1, :],
+                        win1[RR_CUMEX_LO : RR_CUMEX_LO + 1, :])  # (1, W)
+    cum_in = _recombine(win1[RR_CUMIN_HI : RR_CUMIN_HI + 1, :],
+                        win1[RR_CUMIN_LO : RR_CUMIN_LO + 1, :])
+    live = s_col < nslots_ref[0]
+    hot1 = ((s_col >= cum_ex) & (s_col < cum_in) & live).astype(jnp.float32)
+
+    jf = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1).astype(jnp.float32)
+    ones = jnp.ones((1, W_A), jnp.float32)
+    sel1 = _sel(jnp.concatenate([win1, jf, ones], axis=0), hot1)  # (11, CH)
+    x0 = sel1[RR_X0 : RR_X0 + 1].astype(jnp.int32)
+    ty = sel1[RR_TY : RR_TY + 1].astype(jnp.int32)
+    im = sel1[RR_IM : RR_IM + 1].astype(jnp.int32)
+    gid = _recombine(sel1[RR_GID_HI : RR_GID_HI + 1],
+                     sel1[RR_GID_LO : RR_GID_LO + 1])  # (1, CH)
+    cumex_sel = _recombine(sel1[RR_CUMEX_HI : RR_CUMEX_HI + 1],
+                           sel1[RR_CUMEX_LO : RR_CUMEX_LO + 1])
+    j = sel1[-2:-1].astype(jnp.int32)
+    found = sel1[-1:] > 0.0  # (1, CH)
+    flat = win1_ref[c] + j  # row-record index
+
+    # within-run position -> covered tile column (single interval: no divmod)
+    s_row = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    tx = x0 + (s_row - cumex_sel)
+    key = im * tiles_per_im + ty * tile_w + tx
+    key = jnp.where(found, jnp.minimum(key, sentinel), sentinel)
+    flat = jnp.where(found, flat, 0)
+
+    # second one-hot: fields by gaussian id (gid is monotone across slots;
+    # consecutive row records differ by <= 1 gaussian, so a CH-slot chunk
+    # spans <= CH + LANE gaussians — inside the W_A window)
+    rel2 = gid - win2_ref[c]  # (1, CH)
+    # hot2[slot s, window col i] = (rel2[s] == i) & found[s]
+    # (transpose in f32 — Mosaic cannot transpose i1/i32 vectors; rel2 and
+    # the window iota are < 2**24 so the f32 compare is exact)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (CH, W_A), 1).astype(
+        jnp.float32
+    )
+    rel2_col = jnp.transpose(rel2.astype(jnp.float32), (1, 0))  # (CH, 1)
+    found_col = jnp.transpose(sel1[-1:], (1, 0))  # (CH, 1) f32 hit count
+    hot2 = (
+        (rel2_col == iota_w) & (rel2_col >= 0.0) & (found_col > 0.0)
+    ).astype(jnp.float32)
+    sel2 = _sel(win2, hot2)  # (F2, CH)
+    depth = jnp.where(found, sel2[0:1], jnp.inf)
+    fields = sel2[1 : 1 + n_render] * found.astype(jnp.float32)
+
+    fields_ref[0:n_render, :] = fields
+    R = n_render
+    fields_ref[R : R + 1, :] = (key >> 12).astype(jnp.float32)
+    fields_ref[R + 1 : R + 2, :] = (key & 0xFFF).astype(jnp.float32)
+    fields_ref[R + 2 : R + 3, :] = (flat >> 12).astype(jnp.float32)
+    fields_ref[R + 3 : R + 4, :] = (flat & 0xFFF).astype(jnp.float32)
+    fields_ref[R + 4 : R + 5, :] = depth
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_render", "r_pad", "tile_w", "tiles_per_im",
+                     "sentinel", "k"),
+)
+def expand_emission2(
+    table_rr: jax.Array,  # [9, R_pad] f32 row-record geometry
+    table_g: jax.Array,  # [F2, E_pad] f32: depth + render fields
+    win1: jax.Array,  # [K] int32 (multiples of LANE)
+    win2: jax.Array,  # [K] int32 (multiples of LANE)
+    n_slots: jax.Array,  # [1] int32
+    *,
+    n_render: int,
+    r_pad: int,
+    tile_w: int,
+    tiles_per_im: int,
+    sentinel: int,
+    k: int,
+):
+    """Two-window emission expansion for the tight-intersection path.
+
+    Returns (tile_key [K*CH] i32, depth [K*CH] f32, flat [K*CH] i32 row-
+    record ids, fields [r_pad, K*CH] f32).
+    """
+    F2 = table_g.shape[0]
+    assert r_pad >= n_render + 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((r_pad, CH), lambda c, *_: (0, c)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, table_rr.shape[0], W_A), jnp.float32),
+            pltpu.VMEM((2, F2, W_A), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand2_kernel,
+        n_render=n_render,
+        tile_w=tile_w,
+        tiles_per_im=tiles_per_im,
+        sentinel=sentinel,
+    )
+    (fields,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, k * CH), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(win1, win2, n_slots, table_rr, table_g)
+    R = n_render
+    key = _recombine(fields[R], fields[R + 1])
+    flat = _recombine(fields[R + 2], fields[R + 3])
+    depth = fields[R + 4]
+    return key, depth, flat, fields

@@ -6,23 +6,31 @@ at per-element speed on TPU — every large reorder here is either a sort or
 a Pallas windowed one-hot MXU selection, see ops/gather_pallas.py):
 
   forward:
-    1. emission plan (XLA elementwise + cumsum): per-gaussian tile rects,
-       emission runs, per-chunk source windows. Every gaussian emits
-       max(tiles_covered, 1) slots; culled gaussians emit one sentinel-keyed
-       dummy so windows stay bounded.
-    2. expand_emission (Pallas): per-slot (tile_key, depth, flat_id) +
-       render fields, field-major.
+    1. tight emission plan (XLA): per gaussian, the *exact* per-tile-row
+       coverage interval of the alpha>=1/255 ellipse (the TPU analog of the
+       reference's AccuTile conservative ellipse-tile test,
+       gsplat/cuda/csrc/IntersectTile.cu:96-207 — here in closed form per
+       row, which is tighter).  Row-interval records are expanded by a
+       boundary-scatter + cummax fill-forward (no searchsorted).
+    2. expand_emission2 (Pallas, two windows): per-slot (tile_key, depth,
+       row-record id) + render fields selected straight from the per-
+       gaussian table.  Culled gaussians emit one sentinel-keyed dummy so
+       source windows stay bounded.
     3. jax.lax.sort by (tile_key, depth) with the fields as payload — the
        TPU replacement for the CUB radix sort (IntersectTile.cu:1078).
-    4. tile worklist bounds (cheap searchsorted) + align_rows (Pallas):
-       chunk-aligned per-tile layout [F, A].
-    5. Pallas rasterization forward (ops/rasterize_pallas.py).
+    4. per-tile spans by searchsorted (T+1 queries); the Pallas forward
+       kernel reads each tile's UNALIGNED span directly from the sorted
+       buffer (floor-128 DMA base + two-sided lane mask) — no alignment
+       pass, no extra copy of the worklist.
 
   backward:
-    Pallas rasterization backward emits per-slot gradients [F, A]; they are
-    payload-sorted by gaussian id and reduced with a cumulative-sum
-    difference at per-gaussian run boundaries — deterministic, no atomics
-    (a correctness upgrade over the CUDA atomicAdd path).
+    The Pallas backward kernel replays front-to-back and writes per-slot
+    gradients at EXACTLY the sorted-layout positions (boundary chunks merge
+    through a VMEM carry; see ops/rasterize_pallas.py).  They are payload-
+    sorted by row-record id — row ids of one gaussian are contiguous, so
+    one cumsum + one boundary gather per gaussian finishes the reduction —
+    deterministic, no atomics (a correctness upgrade over the CUDA
+    atomicAdd path).
 
 Images are computed in a tiled [n_tiles, D, 256] layout inside the kernels
 and reassembled here (tile_image/untile_image); background blending and
@@ -46,9 +54,13 @@ from .gather_pallas import (
     _recombine,
     align_rows,
     expand_emission,
+    expand_emission2,
 )
-from .isect import build_tile_worklist
+from .isect import _fill_forward_index, build_tile_worklist
+from .projection import ALPHA_THRESHOLD
 from .rasterize_pallas import DEFAULT_CHUNK, N_PIX, TILE, _bwd_call, _fwd_call
+
+ID_SENTINEL = 1 << 30  # sorts after every real row-record id
 
 
 def tile_image(img: jax.Array, tile_size: int = TILE) -> jax.Array:
@@ -75,6 +87,605 @@ def untile_image(
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _pad_tail(x: jax.Array, n: int, value) -> jax.Array:
+    return jnp.concatenate([x, jnp.full((n,), value, x.dtype)])
+
+
+# ---------------------------------------------------------------------------
+# Tight emission plan (3DGS path)
+# ---------------------------------------------------------------------------
+
+
+class TightPlan(NamedTuple):
+    """Static-shape tight tile-emission layout (non-differentiable).
+
+    Row-record level arrays live at [row_cap]; one record = one gaussian x
+    one covered tile row, carrying the exact tile-column interval of the
+    alpha>=1/255 ellipse within that row.  Semantics parity (which tiles a
+    gaussian can touch): gsplat/cuda/csrc/IntersectTile.cu:96-207 AccuTile,
+    but per-row closed form.  Culled/degenerate gaussians hold one dummy
+    record (sentinel image id) so expansion windows stay bounded.
+    """
+
+    rr_cum_ex: jax.Array  # [row_cap] exclusive slot cumsum
+    rr_cum_in: jax.Array  # [row_cap] inclusive slot cumsum
+    rr_x0: jax.Array  # [row_cap] first covered tile column
+    rr_ty: jax.Array  # [row_cap] tile row
+    rr_im: jax.Array  # [row_cap] image id (n_images for dummies)
+    rr_gid: jax.Array  # [row_cap] source gaussian row in [0, E)
+    win1: jax.Array  # [K] row-record window bases
+    win2: jax.Array  # [K] gaussian window bases
+    n_slots: jax.Array  # [1] live emission slots (<= cap_total)
+    gh_bounds: jax.Array  # [E+1] row-record boundaries per gaussian
+    dummy: jax.Array  # [E] bool: no real coverage
+    n_isects: jax.Array  # [] tight intersections (pre-truncation)
+    overflow: jax.Array  # [] bool
+
+
+def make_tight_plan(
+    means2d: jax.Array,  # [E, 2] (visibility-compacted, image-major ids in im_g)
+    radii: jax.Array,  # [E, 2] int32
+    conics: jax.Array,  # [E, 3]
+    opacities: jax.Array,  # [E]
+    im_g: jax.Array,  # [E] int32 image id per gaussian row
+    n_live: jax.Array,  # [] int32: rows < n_live are the visible prefix
+    n_images: int,
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    cap_total: int,
+    row_cap: int,
+) -> TightPlan:
+    E = means2d.shape[0]
+    I = n_images
+    ts = float(tile_size)
+    m2 = jax.lax.stop_gradient(means2d)
+    rad = radii
+    con = jax.lax.stop_gradient(conics)
+    op = jax.lax.stop_gradient(opacities)
+
+    # conservative AABB rect from the projection radii (parity with
+    # _torch_impl.py:_isect_tiles coverage; also the fallback footprint)
+    tmean = m2 / ts
+    trad = rad.astype(m2.dtype) / ts
+    tmin = jnp.floor(tmean - trad).astype(jnp.int32)
+    tmax = jnp.ceil(tmean + trad).astype(jnp.int32)
+    tminx = jnp.clip(tmin[:, 0], 0, tile_width)
+    tminy = jnp.clip(tmin[:, 1], 0, tile_height)
+    tmaxx = jnp.clip(tmax[:, 0], 0, tile_width)
+    tmaxy = jnp.clip(tmax[:, 1], 0, tile_height)
+    w_box = tmaxx - tminx
+    h_box = tmaxy - tminy
+    alive = (rad > 0).all(axis=-1) & (w_box > 0) & (h_box > 0)
+    aabb_cnt = jnp.where(alive, w_box * h_box, 0).astype(jnp.int32)
+
+    # tight ellipse extents: alpha >= 1/255  <=>  sigma <= log(op/thr);
+    # the rasterizer gates alpha < 1/255 to exactly zero (fwd and bwd), so
+    # dropping tiles outside this ellipse is render- and grad-exact.
+    a = con[:, 0]
+    b = con[:, 1]
+    c = con[:, 2]
+    mx = m2[:, 0]
+    my = m2[:, 1]
+    sig_max = jnp.log(jnp.maximum(op, ALPHA_THRESHOLD) / ALPHA_THRESHOLD)
+    sig_max = sig_max * (1.0 + 1e-5) + 1e-6
+    det = a * c - b * b
+    conic_ok = (
+        jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(c)
+        & (a > 1e-12) & (c > 1e-12) & (det > 1e-18) & (sig_max > 0)
+    )
+    safe = lambda x, d: jnp.where(conic_ok, x, d)
+    a_s = safe(a, 1.0)
+    b_s = safe(b, 0.0)
+    c_s = safe(c, 1.0)
+    det_s = safe(det, 1.0)
+    sig_s = safe(sig_max, 1.0)
+    yext = jnp.sqrt(2.0 * sig_s * a_s / det_s) * (1.0 + 1e-5) + 1e-3
+    xext = jnp.sqrt(2.0 * sig_s * c_s / det_s) * (1.0 + 1e-5) + 1e-3
+
+    my_s = jnp.where(alive, my, 0.0)
+    mx_s = jnp.where(alive, mx, 0.0)
+    ry0 = jnp.clip(
+        jnp.floor((my_s - yext) / ts).astype(jnp.int32), tminy, tmaxy
+    )
+    ry1 = jnp.clip(
+        jnp.ceil((my_s + yext) / ts).astype(jnp.int32), ry0, tmaxy
+    )
+    use_aabb = alive & ~conic_ok
+    ry0 = jnp.where(use_aabb, tminy, ry0)
+    ry1 = jnp.where(use_aabb, tmaxy, ry1)
+    h_t = jnp.where(alive, ry1 - ry0, 0)
+    dummy = h_t == 0
+    # Rows exist only for the visibility-compacted prefix; a prefix gaussian
+    # with no real coverage still holds one sentinel record so the gaussian
+    # ids under any expansion window stay gap-free (gid steps <= 1).  The
+    # culled suffix holds zero rows and never enters a window.
+    e_ids = jnp.arange(E, dtype=jnp.int32)
+    prefix = e_ids < n_live
+    h_pad = jnp.where(prefix, jnp.maximum(h_t, 1), 0)
+
+    gh_in = jnp.cumsum(h_pad).astype(jnp.int32)
+    gh_ex = gh_in - h_pad
+    n_rows_total = gh_in[-1]
+    row_overflow = n_rows_total > row_cap
+    n_rows = jnp.minimum(n_rows_total, row_cap)
+    gh_bounds = jnp.concatenate([gh_ex, n_rows[None]])
+    gh_bounds = jnp.clip(gh_bounds, 0, row_cap)
+
+    # row-record expansion: boundary scatter + cummax fill-forward, then one
+    # packed row gather of the per-gaussian attributes (TPU-fast; see
+    # ops/isect.py notes on gather costs)
+    gid_r = _fill_forward_index(gh_ex, h_pad > 0, row_cap)  # [row_cap]
+    im_eff = jnp.where(dummy, I, im_g).astype(jnp.int32)
+    f32 = lambda v: v.astype(jnp.float32)
+    gtable = jnp.stack(
+        [
+            f32(gh_ex), f32(ry0), f32(im_eff), f32(tminx), f32(tmaxx),
+            jnp.where(use_aabb, 1.0, 0.0),
+            mx_s, my_s, a_s, b_s, c_s, sig_s, yext, xext, det_s,
+        ],
+        axis=1,
+    )  # [E, 15]
+    at = gtable[gid_r]  # [row_cap, 15]
+    g_ex_r = at[:, 0].astype(jnp.int32)
+    ry0_r = at[:, 1].astype(jnp.int32)
+    im_r = at[:, 2].astype(jnp.int32)
+    tminx_r = at[:, 3].astype(jnp.int32)
+    tmaxx_r = at[:, 4].astype(jnp.int32)
+    aabb_r = at[:, 5] > 0.5
+    mx_r, my_r = at[:, 6], at[:, 7]
+    a_r, b_r, c_r = at[:, 8], at[:, 9], at[:, 10]
+    sig_r, yext_r, xext_r, det_r = at[:, 11], at[:, 12], at[:, 13], at[:, 14]
+
+    r_ids = jnp.arange(row_cap, dtype=jnp.int32)
+    q = r_ids - g_ex_r
+    ty_r = ry0_r + q
+
+    # exact x-interval of the ellipse over the tile-row band
+    # [ty*ts, (ty+1)*ts]:  dx bounds at band edges plus the global extreme
+    # when its y lies inside the band (the x-extent function is concave /
+    # convex in y, so extremes sit at endpoints or the critical point)
+    u0 = ty_r.astype(jnp.float32) * ts - my_r
+    u1 = u0 + ts
+    uc0 = jnp.clip(u0, -yext_r, yext_r)
+    uc1 = jnp.clip(u1, -yext_r, yext_r)
+
+    def dx_hi(u):
+        disc = jnp.maximum(2.0 * sig_r * a_r - det_r * u * u, 0.0)
+        return (-b_r * u + jnp.sqrt(disc)) / a_r
+
+    def dx_lo(u):
+        disc = jnp.maximum(2.0 * sig_r * a_r - det_r * u * u, 0.0)
+        return (-b_r * u - jnp.sqrt(disc)) / a_r
+
+    u_star_hi = -(b_r / c_r) * xext_r
+    u_star_lo = (b_r / c_r) * xext_r
+    hi = jnp.maximum(dx_hi(uc0), dx_hi(uc1))
+    hi = jnp.where((u_star_hi >= uc0) & (u_star_hi <= uc1), xext_r, hi)
+    lo = jnp.minimum(dx_lo(uc0), dx_lo(uc1))
+    lo = jnp.where((u_star_lo >= uc0) & (u_star_lo <= uc1), -xext_r, lo)
+    hi = hi + 1e-3
+    lo = lo - 1e-3
+
+    x0_r = jnp.clip(
+        jnp.floor((mx_r + lo) / ts).astype(jnp.int32),
+        tminx_r,
+        jnp.maximum(tmaxx_r - 1, tminx_r),
+    )
+    x1_r = jnp.clip(
+        jnp.ceil((mx_r + hi) / ts).astype(jnp.int32), x0_r + 1, tmaxx_r
+    )
+    x0_r = jnp.where(aabb_r, tminx_r, x0_r)
+    x1_r = jnp.where(aabb_r, tmaxx_r, x1_r)
+    w_r = jnp.maximum(x1_r - x0_r, 1)
+
+    is_dummy_r = im_r == I
+    x0_r = jnp.where(is_dummy_r, 0, x0_r)
+    ty_r = jnp.where(is_dummy_r, 0, ty_r)
+    w_r = jnp.where(is_dummy_r, 1, w_r)
+
+    row_live = r_ids < n_rows
+    w_r = jnp.where(row_live, w_r, 0)
+    im_r = jnp.where(row_live, im_r, I)
+    x0_r = jnp.where(row_live, x0_r, 0)
+    ty_r = jnp.where(row_live, ty_r, 0)
+
+    rr_cum_in = jnp.cumsum(w_r).astype(jnp.int32)
+    rr_cum_ex = rr_cum_in - w_r
+    total = rr_cum_in[-1]
+    n_dummy = jnp.sum((dummy & prefix).astype(jnp.int32))
+    n_isects = total - jnp.minimum(n_dummy, total)
+    overflow = (total > cap_total) | row_overflow
+    n_slots = jnp.minimum(total, cap_total)
+
+    K = cap_total // CH
+    probes = jnp.arange(K, dtype=jnp.int32) * CH
+    first_row = jnp.searchsorted(rr_cum_in, probes, side="right").astype(
+        jnp.int32
+    )
+    win1 = jnp.clip((first_row // LANE) * LANE, 0, row_cap)
+    gid_first = gid_r[jnp.clip(first_row, 0, row_cap - 1)]
+    win2 = jnp.clip((gid_first // LANE) * LANE, 0, E)
+
+    return TightPlan(
+        rr_cum_ex=rr_cum_ex, rr_cum_in=rr_cum_in, rr_x0=x0_r, rr_ty=ty_r,
+        rr_im=im_r, rr_gid=gid_r, win1=win1, win2=win2,
+        n_slots=n_slots.reshape(1), gh_bounds=gh_bounds, dummy=dummy,
+        n_isects=n_isects, overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable core (custom_vjp)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21, 22)
+)
+def _rasterize_core(
+    m2f,  # [E, 2] (original order)
+    cnf,  # [E, 3]
+    clf,  # [E, D]
+    opf,  # [E]
+    m2abs,  # [E, 2] absgrad carrier (value unused; cotangent = abs grads)
+    depthf,  # [E] (non-diff sort key; stop_gradient'ed by callers)
+    rank,  # [E] compacted destination per original row (a permutation)
+    perm,  # [E] original row per compacted slot (inverse of rank)
+    rr_cum_ex, rr_cum_in, rr_geo,  # [row_cap] x2, [4, row_cap] (x0,ty,im,gid)
+    win1, win2, n_slots_arr,  # [K], [K], [1]
+    gh_bounds,  # [E+1] (compacted space)
+    dummy_i,  # [E] int32 (compacted space; 1 = no real coverage)
+    cap_total: int,
+    n_channels: int,
+    tile_width: int,
+    tile_height: int,
+    n_images: int,
+    image_size: Tuple[int, int],
+    absgrad: bool,
+):
+    out, _ = _core_fwd(
+        m2f, cnf, clf, opf, m2abs, depthf, rank, perm,
+        rr_cum_ex, rr_cum_in, rr_geo,
+        win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
+        tile_width, tile_height, n_images, image_size, absgrad,
+    )
+    return out
+
+
+def _core_fwd(
+    m2f, cnf, clf, opf, m2abs, depthf, rank, perm,
+    rr_cum_ex, rr_cum_in, rr_geo,
+    win1, win2, n_slots_arr, gh_bounds, dummy_i,
+    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
+    absgrad,
+):
+    width, height = image_size
+    D = n_channels
+    E = m2f.shape[0]
+    row_cap = rr_cum_ex.shape[0]
+    T = n_images * tile_width * tile_height
+    K = cap_total // CH
+
+    # Visibility compaction: permute fields into the plan's compacted order
+    # (payload sort by rank — rank is a permutation, so the unstable 1-key
+    # sort is deterministic).  TPU-fast: a payload sort at E elements beats
+    # any gather/scatter formulation by an order of magnitude.
+    ops_c = jax.lax.sort(
+        (rank, depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+         cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
+        num_keys=1, is_stable=False,
+    )
+    g_rows = list(ops_c[1:])
+
+    # Gaussians without coverage may carry NaN/inf fields (e.g. degenerate
+    # quats project to NaN conics; the reference never touches culled
+    # gaussians either). They MUST be zeroed here: the one-hot selection
+    # matmul multiplies every window entry by 0/1 and sums, and 0 * NaN =
+    # NaN would poison every slot whose window contains them.
+    ok = dummy_i == 0
+    g_rows = [jnp.where(ok, r, 0.0) for r in g_rows]
+    # DMA slices need 8-aligned sublane counts: pad row dims to multiples of 8
+    g_rows += [jnp.zeros_like(depthf)] * (_round_up(len(g_rows), 8) - len(g_rows))
+    table_g = jnp.stack([_pad_tail(r, W_A, 0.0) for r in g_rows])
+
+    # row-record geometry table, window-padded
+    exh, exl = _hi_lo(rr_cum_ex)
+    inh, inl = _hi_lo(rr_cum_in)
+    tot_hi, tot_lo = _hi_lo(rr_cum_in[-1:])
+    pad_hi = jnp.broadcast_to(tot_hi, (W_A,))
+    pad_lo = jnp.broadcast_to(tot_lo, (W_A,))
+    gidh, gidl = _hi_lo(rr_geo[3])
+    f32 = lambda v: v.astype(jnp.float32)
+    table_rr = jnp.stack([
+        jnp.concatenate([exh, pad_hi]), jnp.concatenate([exl, pad_lo]),
+        jnp.concatenate([inh, pad_hi]), jnp.concatenate([inl, pad_lo]),
+        _pad_tail(f32(rr_geo[0]), W_A, 0.0),  # X0
+        _pad_tail(f32(rr_geo[1]), W_A, 0.0),  # TY
+        _pad_tail(f32(rr_geo[2]), W_A, float(n_images)),  # IM
+        _pad_tail(gidh, W_A, 0.0),
+        _pad_tail(gidl, W_A, 0.0),
+        *([jnp.zeros((row_cap + W_A,), jnp.float32)] * 7),  # 8-align rows
+    ])
+
+    R = 6 + D
+    r_pad = _round_up(R + 5, 8)
+    keys, depth_keys, flat_ids, fields = expand_emission2(
+        table_rr, table_g, win1, win2, n_slots_arr,
+        n_render=R, r_pad=r_pad, tile_w=tile_width,
+        tiles_per_im=tile_width * tile_height, sentinel=T, k=K,
+    )
+
+    operands = (keys, depth_keys, flat_ids) + tuple(
+        fields[i] for i in range(R)
+    )
+    # unstable: (tile, depth) ties can only come from the same gaussian,
+    # which emits at most one slot per tile — ordering is already unique
+    s = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    keys_s, flat_s = s[0], s[2]
+    srows = list(s[3:])
+    srows += [jnp.zeros_like(srows[0])] * (_round_up(R, 8) - R)  # 8-align
+    sorted_rows = jnp.stack(srows)  # [R8, P]
+
+    # per-tile spans over the sorted stream (T+1 queries — cheap)
+    bounds = jnp.searchsorted(
+        keys_s, jnp.arange(T + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
+    base = starts // DEFAULT_CHUNK
+    heads = starts - base * DEFAULT_CHUNK
+
+    sorted_pad = jnp.pad(sorted_rows, ((0, 0), (0, 2 * DEFAULT_CHUNK)))
+
+    pix_out, t_final = _fwd_call(
+        sorted_pad, base, heads, counts,
+        n_channels=D, tiles_w=tile_width,
+        tiles_per_image=tile_width * tile_height, width=width, height=height,
+        n_tiles=T,
+    )
+
+    res = (
+        sorted_pad, flat_s, base, heads, counts, bounds[-1:], perm,
+        rr_cum_in, gh_bounds, dummy_i, n_slots_arr, pix_out, t_final,
+    )
+    return (pix_out, t_final), res
+
+
+def _core_bwd(
+    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
+    absgrad, res, cts,
+):
+    (
+        sorted_pad, flat_s, base, heads, counts, live_total, perm,
+        rr_cum_in, gh_bounds, dummy_i, n_slots_arr, pix_out, t_final,
+    ) = res
+    v_pix, v_tfinal = cts
+    width, height = image_size
+    D = n_channels
+    E = dummy_i.shape[0]
+    row_cap = rr_cum_in.shape[0]
+    P = flat_s.shape[0]
+    T = n_images * tile_width * tile_height
+
+    (v_slot,) = _bwd_call(
+        sorted_pad, base, heads, counts, v_pix, v_tfinal, pix_out, t_final,
+        n_channels=D, tiles_w=tile_width,
+        tiles_per_image=tile_width * tile_height, width=width, height=height,
+        n_tiles=T,
+    )  # [6+D, P_pad] per-slot grads at sorted positions
+
+    # Slots beyond the live stream (sentinel keys / dummies) were never
+    # written: mask their ids to the sentinel and their grads to zero.
+    pos = jnp.arange(P, dtype=jnp.int32)
+    in_live = pos < live_total[0]
+    ids = jnp.where(in_live, flat_s, ID_SENTINEL)
+    n_rows_grad = 6 + D
+    grads = jnp.where(in_live[None, :], v_slot[:, :P], 0.0)
+
+    # Deterministic per-gaussian reduction: payload-sort by row-record id
+    # (row ids of one gaussian are contiguous), one cumsum, one boundary
+    # gather at gaussian granularity.
+    operands = (ids,) + tuple(grads[i] for i in range(n_rows_grad))
+    # unstable: within-id order only permutes the f32 summation
+    srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    v_rows = jnp.stack(srt[1:], axis=1)  # [P, 6+D]
+    if absgrad:
+        v_rows = jnp.concatenate([v_rows, jnp.abs(v_rows[:, :2])], axis=1)
+    Wc = v_rows.shape[1]
+    cs = jnp.concatenate(
+        [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
+    )  # [P+1, Wc]
+
+    # per-gaussian surviving-slot counts -> boundaries in the id-sorted
+    # stream (emission is gaussian-major over contiguous row records)
+    cum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), rr_cum_in]
+    )  # [row_cap+1]
+    gb = cum0[gh_bounds]  # [E+1] emission-slot boundaries per gaussian
+    gcnt = gb[1:] - gb[:-1]
+    n_slots = n_slots_arr[0]
+    gvrc = jnp.where(
+        dummy_i == 1,
+        0,
+        jnp.clip(jnp.minimum(gb[:-1] + gcnt, n_slots) - gb[:-1], 0, gcnt),
+    )
+    ends = jnp.cumsum(gvrc).astype(jnp.int32)
+    positions = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])  # [E+1]
+    csg = cs[positions]  # [E+1, Wc] monotone row gather
+    v_gauss = csg[1:] - csg[:-1]  # [E, Wc] in compacted order
+
+    # un-permute back to the caller's original order (payload sort by the
+    # original index — the exact inverse of the forward compaction)
+    uns = jax.lax.sort(
+        (perm,) + tuple(v_gauss[:, i] for i in range(Wc)),
+        num_keys=1, is_stable=False,
+    )
+    v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
+
+    v_m2 = v_gauss[:, 0:2]
+    v_cn = v_gauss[:, 2:5]
+    v_op = v_gauss[:, 5]
+    v_cl = v_gauss[:, 6 : 6 + D]
+    v_m2abs = (
+        v_gauss[:, 6 + D :] if absgrad else jnp.zeros((E, 2), v_m2.dtype)
+    )
+
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    zero_depth = jnp.zeros((E,), v_m2.dtype)
+    K = cap_total // CH
+    return (
+        v_m2, v_cn, v_cl, v_op, v_m2abs, zero_depth,
+        f0(jnp.zeros((E,), jnp.int32)),
+        f0(jnp.zeros((E,), jnp.int32)),
+        f0(jnp.zeros((row_cap,), jnp.int32)),
+        f0(jnp.zeros((row_cap,), jnp.int32)),
+        f0(jnp.zeros((4, row_cap), jnp.int32)),
+        f0(jnp.zeros((K,), jnp.int32)),
+        f0(jnp.zeros((K,), jnp.int32)),
+        f0(jnp.zeros((1,), jnp.int32)),
+        f0(jnp.zeros((E + 1,), jnp.int32)),
+        f0(jnp.zeros((E,), jnp.int32)),
+    )
+
+
+_rasterize_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_to_pixels(
+    means2d: jax.Array,  # [I, N, 2]
+    conics: jax.Array,  # [I, N, 3]
+    colors: jax.Array,  # [I, N, D]
+    opacities: jax.Array,  # [I, N]
+    image_width: int,
+    image_height: int,
+    radii: jax.Array,  # [I, N, 2] int32 (0 = culled)
+    depths: jax.Array,  # [I, N]
+    isect_capacity: int,
+    backgrounds: Optional[jax.Array] = None,  # [I, D]
+    masks: Optional[jax.Array] = None,  # [I, th, tw] bool
+    tile_size: int = TILE,
+    absgrad: bool = False,
+    means2d_abs: Optional[jax.Array] = None,  # [I, N, 2] absgrad carrier
+    row_capacity: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Rasterize projected gaussians to images (sorting included).
+
+    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], aux)
+    with aux = {n_isects, isect_overflow, tiles_per_gauss}. `isect_capacity`
+    bounds the tight intersections; `row_capacity` bounds the (gaussian x
+    covered-tile-row) records (default isect_capacity // 2).
+    aux["tiles_per_gauss"] reports the conservative AABB counts (parity
+    with _torch_impl.py:_isect_tiles); aux["n_isects"] is the tight count.
+
+    The pipeline is visibility-compacted throughout (the TPU analog of the
+    reference's packed mode, rendering.py:348-362): culled gaussians are
+    prefix-sorted out before the emission plan, so sort/worklist work
+    scales with the visible set, not I*N.
+    Parity: gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337) +
+    isect_tiles with AccuTile (IntersectTile.cu:96-207).
+    """
+    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
+    I, N = means2d.shape[0], means2d.shape[1]
+    E = I * N
+    D = colors.shape[-1]
+    th = -(-image_height // tile_size)
+    tw = -(-image_width // tile_size)
+    cap_total = _round_up(isect_capacity, CH)
+    if row_capacity is None:
+        row_capacity = isect_capacity // 2
+    row_cap = _round_up(row_capacity, LANE)
+
+    # visibility compaction prep (non-differentiable; one payload sort)
+    m2_sg = jax.lax.stop_gradient(means2d).reshape(E, 2)
+    cn_sg = jax.lax.stop_gradient(conics).reshape(E, 3)
+    op_sg = jax.lax.stop_gradient(opacities).reshape(E)
+    rad = radii.reshape(E, 2)
+    iota = jnp.arange(E, dtype=jnp.int32)
+    alive = (rad > 0).all(axis=-1)
+    n_live = jnp.sum(alive.astype(jnp.int32))
+    ckey = (~alive).astype(jnp.int32)
+    comp = jax.lax.sort(
+        (ckey, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0], rad[:, 1],
+         cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg, iota // N),
+        num_keys=2, is_stable=False,
+    )
+    perm = comp[1]  # original row per compacted slot
+    m2_c = jnp.stack([comp[2], comp[3]], axis=1)
+    rad_c = jnp.stack([comp[4], comp[5]], axis=1)
+    cn_c = jnp.stack([comp[6], comp[7], comp[8]], axis=1)
+    op_c = comp[9]
+    im_c = comp[10]
+    rank = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)[1]
+
+    plan = make_tight_plan(
+        m2_c, rad_c, cn_c, op_c, im_c, n_live, I, tile_size, tw, th,
+        cap_total, row_cap,
+    )
+
+    if means2d_abs is None:
+        means2d_abs = jnp.zeros((E, 2), means2d.dtype)
+
+    rr_geo = jnp.stack([plan.rr_x0, plan.rr_ty, plan.rr_im, plan.rr_gid])
+
+    # tile masks are applied outside the core: masked tiles must render
+    # pure background with zero alpha (Fwd.cu:141-158), which the outer
+    # where() below guarantees for both values and gradients.
+    pix_out, t_final = _rasterize_core(
+        means2d.reshape(E, 2),
+        conics.reshape(E, 3),
+        colors.reshape(E, D),
+        opacities.reshape(E),
+        means2d_abs.reshape(E, 2),
+        jax.lax.stop_gradient(depths).reshape(E),
+        rank, perm,
+        plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
+        plan.win1, plan.win2, plan.n_slots,
+        plan.gh_bounds, plan.dummy.astype(jnp.int32),
+        cap_total, D, tw, th, I, (image_width, image_height), absgrad,
+    )
+
+    render = untile_image(pix_out, I, th, tw, image_height, image_width)
+    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
+    render_alphas = 1.0 - t_img
+    if backgrounds is not None:
+        render = render + t_img * backgrounds[:, None, None, :]
+    if masks is not None:
+        # masked-off tiles show pure background with zero alpha
+        mpix = jnp.repeat(
+            jnp.repeat(masks, tile_size, axis=1), tile_size, axis=2
+        )[:, :image_height, :image_width, None]
+        bg = (
+            backgrounds[:, None, None, :]
+            if backgrounds is not None
+            else jnp.zeros((I, 1, 1, D), render.dtype)
+        )
+        render = jnp.where(mpix, render, bg)
+        render_alphas = jnp.where(mpix, render_alphas, 0.0)
+
+    # conservative AABB tile counts in the caller's order (parity with
+    # _torch_impl.py:_isect_tiles coverage)
+    tmean = m2_sg / tile_size
+    trad = rad.astype(m2_sg.dtype) / tile_size
+    tmn = jnp.floor(tmean - trad).astype(jnp.int32)
+    tmx = jnp.ceil(tmean + trad).astype(jnp.int32)
+    wb = jnp.clip(tmx[:, 0], 0, tw) - jnp.clip(tmn[:, 0], 0, tw)
+    hb = jnp.clip(tmx[:, 1], 0, th) - jnp.clip(tmn[:, 1], 0, th)
+    aabb_cnt = jnp.where(alive & (wb > 0) & (hb > 0), wb * hb, 0)
+
+    aux = {
+        "n_isects": plan.n_isects,
+        "isect_overflow": plan.overflow,
+        "tiles_per_gauss": aabb_cnt.reshape(I, N).astype(jnp.int32),
+    }
+    return render, render_alphas, aux
+
+
+# ---------------------------------------------------------------------------
+# Legacy AABB emission machinery (still used by the 2DGS / eval3d paths)
+# ---------------------------------------------------------------------------
 
 
 class EmissionPlan(NamedTuple):
@@ -151,10 +762,6 @@ def make_emission_plan(
     )
 
 
-def _pad_tail(x: jax.Array, n: int, value) -> jax.Array:
-    return jnp.concatenate([x, jnp.full((n,), value, x.dtype)])
-
-
 def expand_sort_align(
     field_rows,  # list of [E] f32 arrays (render fields, sanitized)
     depthf: jax.Array,  # [E] f32 (non-negative sort key)
@@ -167,9 +774,9 @@ def expand_sort_align(
 ):
     """Emission-expand, depth-sort, and chunk-align arbitrary field rows.
 
-    The generic middle of the rasterization pipeline (kernel A -> payload
-    sort -> worklist -> kernel B); shared by the 3DGS and 2DGS paths.
-    Returns (aligned [F_s, A], ids_aligned [A], worklist).
+    The generic middle of the legacy rasterization pipeline (kernel A ->
+    payload sort -> worklist -> kernel B); used by the 2DGS and eval3d
+    paths.  Returns (aligned [F_s, A], ids_aligned [A], worklist).
     """
     R = len(field_rows)
     r_pad = _round_up(R + 5, 8)
@@ -260,207 +867,3 @@ def reduce_slot_grads(
     ends = jnp.cumsum(vrc).astype(jnp.int32)
     starts = ends - vrc
     return cs[ends] - cs[starts]  # [E, Wc]
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18)
-)
-def _rasterize_core(
-    m2f,  # [E, 2]
-    cnf,  # [E, 3]
-    clf,  # [E, D]
-    opf,  # [E]
-    m2abs,  # [E, 2] absgrad carrier (value unused; cotangent = abs grads)
-    depthf,  # [E] (non-diff sort key; stop_gradient'ed by callers)
-    cnt, cum_ex, cum_in, rect_rows,  # plan arrays (int32)
-    win_starts, n_slots_arr,  # [K], [1]
-    cap_total: int,
-    n_channels: int,
-    tile_width: int,
-    tile_height: int,
-    n_images: int,
-    image_size: Tuple[int, int],
-    absgrad: bool,
-):
-    out, _ = _core_fwd(
-        m2f, cnf, clf, opf, m2abs, depthf, cnt, cum_ex, cum_in, rect_rows,
-        win_starts, n_slots_arr, cap_total, n_channels, tile_width,
-        tile_height, n_images, image_size, absgrad,
-    )
-    return out
-
-
-def _core_fwd(
-    m2f, cnf, clf, opf, m2abs, depthf, cnt, cum_ex, cum_in, rect_rows,
-    win_starts, n_slots_arr,
-    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad,
-):
-    width, height = image_size
-    D = n_channels
-
-    # Culled gaussians may carry NaN/inf fields (e.g. degenerate quats
-    # project to NaN conics; the reference never touches culled gaussians
-    # either). They MUST be zeroed here: the one-hot selection matmul
-    # multiplies every window entry by 0/1 and sums, and 0 * NaN = NaN
-    # would poison every slot whose window contains them.
-    ok = cnt > 0
-    m2f = jnp.where(ok[:, None], m2f, 0.0)
-    cnf = jnp.where(ok[:, None], cnf, 0.0)
-    clf = jnp.where(ok[:, None], clf, 0.0)
-    opf = jnp.where(ok, opf, 0.0)
-    depthf = jnp.where(ok, depthf, 0.0)
-
-    field_rows = [
-        m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1], cnf[:, 2], opf,
-    ] + [clf[:, i] for i in range(D)]
-    aligned, ids_aligned, wl = expand_sort_align(
-        field_rows, depthf, cnt, cum_ex, cum_in, rect_rows,
-        win_starts, n_slots_arr, cap_total, tile_width, tile_height,
-        n_images,
-    )
-
-    pix_out, t_final = _fwd_call(
-        aligned, wl.chunk_starts, wl.n_chunks,
-        chunk=DEFAULT_CHUNK, n_channels=D, tiles_w=tile_width,
-        tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=n_images * tile_width * tile_height,
-    )
-
-    res = (
-        aligned, ids_aligned, wl.valid, wl.chunk_starts, wl.n_chunks,
-        cnt, cum_ex, n_slots_arr, pix_out, t_final,
-    )
-    return (pix_out, t_final), res
-
-
-def _core_bwd(
-    cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, res, cts,
-):
-    (
-        aligned, ids_aligned, valid, chunk_starts, n_chunks,
-        cnt, cum_ex, n_slots_arr, pix_out, t_final,
-    ) = res
-    v_pix, v_tfinal = cts
-    width, height = image_size
-    D = n_channels
-    A = ids_aligned.shape[0]
-    E = cnt.shape[0]
-    T = n_images * tile_width * tile_height
-
-    (v_aligned,) = _bwd_call(
-        aligned, chunk_starts, n_chunks, v_pix, v_tfinal, pix_out, t_final,
-        chunk=DEFAULT_CHUNK, n_channels=D, tiles_w=tile_width,
-        tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T,
-    )  # [F_s, A] per-slot grads, field-major (rows 0..5+D live)
-
-    v_gauss = reduce_slot_grads(
-        v_aligned, 6 + D, ids_aligned, valid, cnt, cum_ex,
-        n_slots_arr[0], E, extra_abs=2 if absgrad else 0,
-    )
-
-    v_m2 = v_gauss[:, 0:2]
-    v_cn = v_gauss[:, 2:5]
-    v_op = v_gauss[:, 5]
-    v_cl = v_gauss[:, 6 : 6 + D]
-    v_m2abs = (
-        v_gauss[:, 6 + D :] if absgrad else jnp.zeros((E, 2), v_m2.dtype)
-    )
-
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    zero_depth = jnp.zeros((E,), v_m2.dtype)
-    return (
-        v_m2, v_cn, v_cl, v_op, v_m2abs, zero_depth,
-        f0(cnt), f0(cum_ex), f0(cum_ex), f0(jnp.zeros((4, E), jnp.int32)),
-        f0(jnp.zeros((cap_total // CH,), jnp.int32)),
-        f0(jnp.zeros((1,), jnp.int32)),
-    )
-
-
-_rasterize_core.defvjp(_core_fwd, _core_bwd)
-
-
-def rasterize_to_pixels(
-    means2d: jax.Array,  # [I, N, 2]
-    conics: jax.Array,  # [I, N, 3]
-    colors: jax.Array,  # [I, N, D]
-    opacities: jax.Array,  # [I, N]
-    image_width: int,
-    image_height: int,
-    radii: jax.Array,  # [I, N, 2] int32 (0 = culled)
-    depths: jax.Array,  # [I, N]
-    isect_capacity: int,
-    backgrounds: Optional[jax.Array] = None,  # [I, D]
-    masks: Optional[jax.Array] = None,  # [I, th, tw] bool
-    tile_size: int = TILE,
-    absgrad: bool = False,
-    means2d_abs: Optional[jax.Array] = None,  # [I, N, 2] absgrad carrier
-) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
-    """Rasterize projected gaussians to images (sorting included).
-
-    Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1], aux)
-    with aux = {n_isects, isect_overflow, tiles_per_gauss}. `isect_capacity`
-    bounds the REAL intersections; the internal buffer adds one dummy slot
-    per gaussian (static shapes). Parity:
-    gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337) + isect_tiles.
-    """
-    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
-    I, N = means2d.shape[0], means2d.shape[1]
-    E = I * N
-    D = colors.shape[-1]
-    th = -(-image_height // tile_size)
-    tw = -(-image_width // tile_size)
-    T = I * th * tw
-    cap_total = _round_up(isect_capacity + E, CH)
-
-    plan = make_emission_plan(
-        means2d, radii, tile_size, tw, th, cap_total
-    )
-
-    if means2d_abs is None:
-        means2d_abs = jnp.zeros((E, 2), means2d.dtype)
-
-    rect_rows = jnp.stack([plan.tminx, plan.tminy, plan.w_rect, plan.im])
-
-    # tile masks enter through the worklist chunk counts — but those are
-    # computed inside the core; thread them via opacity zeroing instead:
-    # masked tiles must render pure background with zero alpha
-    # (Fwd.cu:141-158), which the outer mask application below guarantees.
-    pix_out, t_final = _rasterize_core(
-        means2d.reshape(E, 2),
-        conics.reshape(E, 3),
-        colors.reshape(E, D),
-        opacities.reshape(E),
-        means2d_abs.reshape(E, 2),
-        jax.lax.stop_gradient(depths).reshape(E),
-        plan.cnt, plan.cum_ex, plan.cum_in, rect_rows,
-        plan.win_starts, plan.n_slots.reshape(1),
-        cap_total, D, tw, th, I, (image_width, image_height), absgrad,
-    )
-
-    render = untile_image(pix_out, I, th, tw, image_height, image_width)
-    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
-    render_alphas = 1.0 - t_img
-    if backgrounds is not None:
-        render = render + t_img * backgrounds[:, None, None, :]
-    if masks is not None:
-        # masked-off tiles show pure background with zero alpha
-        mpix = jnp.repeat(
-            jnp.repeat(masks, tile_size, axis=1), tile_size, axis=2
-        )[:, :image_height, :image_width, None]
-        bg = (
-            backgrounds[:, None, None, :]
-            if backgrounds is not None
-            else jnp.zeros((I, 1, 1, D), render.dtype)
-        )
-        render = jnp.where(mpix, render, bg)
-        render_alphas = jnp.where(mpix, render_alphas, 0.0)
-
-    aux = {
-        "n_isects": plan.n_isects,
-        "isect_overflow": plan.overflow,
-        "tiles_per_gauss": plan.cnt.reshape(I, N),
-    }
-    return render, render_alphas, aux

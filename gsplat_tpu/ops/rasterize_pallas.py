@@ -6,22 +6,25 @@ TPU-native redesign of the reference CUDA rasterizer
   * CUDA: one CTA per tile, shared-memory staging of CTA-size gaussian
     batches, per-pixel serial front-to-back blend with `__syncthreads_count`
     early-out, backward via back-to-front replay + atomicAdd scatter.
-  * Here: one grid step per tile; the depth-sorted per-tile worklist is laid
-    out field-major [F, A] in HBM with chunk-aligned 128-wide spans
-    (see ops.isect.build_tile_worklist) and DMA'd through VMEM in
-    SUPER-chunks of SUP x 128 lanes with double buffering (the per-128
-    version was DMA-latency bound: ~10ns of transfer against ~1-2us of
-    latency per chunk; 512-lane super-chunks give ~3us of VPU work to hide
-    it behind). Compositing runs in its associative form — per-chunk
+  * Here: one grid step per tile; the depth-sorted intersection list lives
+    field-major [F, P] in HBM and each tile reads its own UNALIGNED span
+    [start, start+count) by DMA-ing 128-lane chunks from the floor-128 base
+    with a two-sided lane mask (head lanes belong to the previous tile, tail
+    lanes to the next).  Chunks ride in SUP x 128-lane super-chunks with
+    double buffering.  Compositing runs in its associative form — per-chunk
     cumulative products of (1 - alpha) on the VPU and an MXU matmul for the
     color accumulation — with a whole-tile early exit when every pixel's
     transmittance saturates (the analog of the CUDA done-mask break,
     Fwd.cu:268-271).
   * Backward is a front-to-back *replay* (no last_ids needed — the
-    saturation masks are recomputed exactly), producing per-worklist-slot
-    gradients written densely to HBM. Accumulation to per-gaussian gradients
-    happens outside the kernel as a sorted segment reduction — deterministic,
-    no atomics (a correctness upgrade over the CUDA `atomicAdd` path).
+    saturation masks are recomputed exactly), producing per-slot gradients
+    written at EXACTLY the sorted-layout positions [F_out, P].  Boundary
+    chunks shared by two adjacent tiles are merged through a VMEM carry
+    buffer (the grid runs sequentially: dimension_semantics="arbitrary"),
+    so no slot is ever written twice — deterministic, no atomics
+    (a correctness upgrade over the CUDA `atomicAdd` path).  Accumulation
+    to per-gaussian gradients happens outside as a sorted segment
+    reduction (ops/rasterize.py:reduce_sorted_grads).
 
 The associative per-chunk formulation here (partial (T, c) folds composed
 by cumulative products) is the same reformulation as the reference's
@@ -34,20 +37,18 @@ sigma/alpha gates, MAX_ALPHA clamp, transmittance threshold with the
 saturating gaussian excluded, background blended with the final
 transmittance.
 
-Layout: 128 depth-consecutive gaussians per aligned chunk on the lane axis
-(TPU DMA requires 128-lane minor dims for dynamically offset HBM slices);
-the 256 pixels of a 16x16 tile live on the sublane axis. Tile spans are
-128-aligned; the last super-chunk of a tile may straddle into the next
-tile's span, so alphas are gated by the tile's true chunk count and
-backward writes are issued per valid 128-chunk only. Per-tile images are
-produced in a tiled [n_tiles, D, 256] layout and re-assembled outside the
-kernel (see ops.rasterize.tile_image/untile_image).
+Layout: 128 depth-consecutive gaussians per chunk on the lane axis (TPU DMA
+requires 128-lane minor dims for dynamically offset HBM slices); the 256
+pixels of a 16x16 tile live on the sublane axis.  Input rows are
+[x, y, conic_a, conic_b, conic_c, opacity, colors...]; backward output rows
+are the per-slot gradients in the same order.  Per-tile images are produced
+in a tiled [n_tiles, D, 256] layout and re-assembled outside the kernel
+(see ops.rasterize.tile_image/untile_image).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
-DEFAULT_CHUNK = 128  # aligned-span granularity == lane width (hard constraint)
+CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
+DEFAULT_CHUNK = CHUNK  # legacy alias (2DGS/eval3d worklists still use it)
 SUP = 4  # 128-chunks per DMA super-chunk (512 lanes per loop iteration)
 TILE = 16  # tile_size for the Pallas path (pixels per side)
 N_PIX = TILE * TILE  # 256 pixels per tile
@@ -64,6 +66,12 @@ N_PIX = TILE * TILE  # 256 pixels per tile
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _seq_params() -> pltpu.CompilerParams:
+    # The carry-chunk merge in the backward relies on grid steps executing
+    # in order on one core; "arbitrary" forbids megacore grid splitting.
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 
 
 def _cumprod_lane(x: jax.Array) -> jax.Array:
@@ -144,10 +152,11 @@ def _chunk_alphas(buf, px, py):
 
 def _fwd_kernel(
     # scalar prefetch
-    chunk_starts_ref,  # [T] int32 (units of 128-chunks)
-    n_chunks_ref,  # [T] int32
+    base_ref,  # [T] int32: tile start // 128 (chunk units)
+    head_ref,  # [T] int32: tile start % 128
+    count_ref,  # [T] int32: tile span length in slots
     # inputs
-    isect_hbm,  # [F, A] f32 in HBM, field-major
+    isect_hbm,  # [F, P_pad] f32 in HBM, field-major sorted layout
     # outputs (VMEM blocks)
     color_ref,  # (1, D, 256)
     tfinal_ref,  # (1, 1, 256)
@@ -156,7 +165,6 @@ def _fwd_kernel(
     t_ref,  # (256, 1) VMEM running transmittance
     sem,  # DMA semaphores (2, SUP)
     *,
-    chunk: int,
     n_channels: int,
     tiles_w: int,
     tiles_per_image: int,
@@ -164,9 +172,11 @@ def _fwd_kernel(
     height: int,
 ):
     t = pl.program_id(0)
-    start = chunk_starts_ref[t]
-    n_ch = n_chunks_ref[t]
-    L = SUP * chunk
+    base = base_ref[t]
+    head = head_ref[t]
+    count = count_ref[t]
+    L = SUP * CHUNK
+    n_ch = (head + count + CHUNK - 1) // CHUNK
     n_sup = (n_ch + SUP - 1) // SUP
 
     px, py, _, _ = _tile_pixel_coords(t, tiles_w, tiles_per_image)
@@ -175,10 +185,10 @@ def _fwd_kernel(
     color_ref[:] = jnp.zeros_like(color_ref)
 
     def dma(slot, k, c):
-        off = pl.multiple_of((start + c) * chunk, chunk)
+        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            isect_hbm.at[:, pl.ds(off, chunk)],
-            buf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
+            isect_hbm.at[:, pl.ds(off, CHUNK)],
+            buf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
             sem.at[slot, k],
         )
 
@@ -194,7 +204,7 @@ def _fwd_kernel(
             def _():
                 dma(slot, k, s * SUP + k).wait()
 
-    @pl.when(n_ch > 0)
+    @pl.when(count > 0)
     def _():
         start_super(0, 0)
 
@@ -207,13 +217,12 @@ def _fwd_kernel(
                 start_super(1 - slot, s + 1)
 
             wait_super(slot, s)
-            # lanes past the tile's true span hold stale or uninitialized
-            # data (possibly NaN, which would poison the matmuls via 0*NaN):
-            # zero them before any use
-            lane_row = jax.lax.broadcasted_iota(
-                jnp.int32, (1, L), 1
-            )
-            valid_row = (s * L + lane_row) < n_ch * chunk
+            # head lanes belong to the previous tile, tail lanes to the
+            # next; both may carry arbitrary data (0 * NaN would poison
+            # the matmuls): zero them before any use
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            g = s * L + lane_row
+            valid_row = (g >= head) & (g < head + count)
             buf = jnp.where(valid_row, buf_ref[slot], 0.0)
 
             alpha, _, _, _, _ = _chunk_alphas(buf, px, py)
@@ -265,25 +274,27 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     # scalar prefetch
-    chunk_starts_ref,
-    n_chunks_ref,
+    base_ref,  # [T] int32 (chunk units)
+    head_ref,  # [T] int32
+    count_ref,  # [T] int32
     # inputs
-    isect_hbm,  # [F, A] HBM
+    isect_hbm,  # [F, P_pad] HBM
     v_pix_ref,  # (1, D, 256) cotangent of pix_out (tiled)
     v_tfinal_ref,  # (1, 1, 256) cotangent of t_final
     pix_out_ref,  # (1, D, 256) forward output (for suffix sums)
     tfinal_fwd_ref,  # (1, 1, 256) forward final transmittance
     # outputs
-    v_isect_hbm,  # [F, A] HBM — per-slot gradients
+    v_isect_hbm,  # [F_out, P_pad] HBM — per-slot grads at sorted positions
     # scratch
     buf_ref,  # (2, F, SUP*128)
-    vbuf_ref,  # (2, F, SUP*128)
+    vbuf_ref,  # (2, F_out, SUP*128)
     t_ref,  # (256, 1) replayed transmittance
     e_ref,  # (256, 1) running sum_{j<=i} w_j d_j
+    pend_ref,  # (F_out, 128) carry: partial boundary chunk
     sem,  # (2, SUP) in DMA semaphores
     osem,  # (2, SUP) out DMA semaphores
+    fsem,  # (1,) flush DMA semaphore
     *,
-    chunk: int,
     n_channels: int,
     tiles_w: int,
     tiles_per_image: int,
@@ -291,11 +302,18 @@ def _bwd_kernel(
     height: int,
 ):
     t = pl.program_id(0)
-    start = chunk_starts_ref[t]
-    n_ch = n_chunks_ref[t]
+    n_t = pl.num_programs(0)
+    base = base_ref[t]
+    head = head_ref[t]
+    count = count_ref[t]
     D = n_channels
-    L = SUP * chunk
+    F_out = -(-(6 + D) // 8) * 8  # 8-aligned sublane count for DMA slices
+    L = SUP * CHUNK
+    n_ch = (head + count + CHUNK - 1) // CHUNK
     n_sup = (n_ch + SUP - 1) // SUP
+    end = head + count
+    end_off = end - (n_ch - 1) * CHUNK  # lanes of the last chunk that are ours
+    tail_partial = jnp.logical_and(count > 0, end_off < CHUNK)
 
     px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)
@@ -319,19 +337,21 @@ def _bwd_kernel(
         [ones, lx, ly, lx * lx, lx * ly, ly * ly], axis=1
     )  # (256, 6) in tile-local coordinates
 
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (F_out, CHUNK), 1)
+
     def dma_in(slot, k, c):
-        off = pl.multiple_of((start + c) * chunk, chunk)
+        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            isect_hbm.at[:, pl.ds(off, chunk)],
-            buf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
+            isect_hbm.at[:, pl.ds(off, CHUNK)],
+            buf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
             sem.at[slot, k],
         )
 
     def dma_out(slot, k, c):
-        off = pl.multiple_of((start + c) * chunk, chunk)
+        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
-            vbuf_ref.at[slot, :, pl.ds(k * chunk, chunk)],
-            v_isect_hbm.at[:, pl.ds(off, chunk)],
+            vbuf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
+            v_isect_hbm.at[:, pl.ds(off, CHUNK)],
             osem.at[slot, k],
         )
 
@@ -347,19 +367,52 @@ def _bwd_kernel(
             def _():
                 dma_in(slot, k, s * SUP + k).wait()
 
-    def start_super_out(slot, s):
+    def emit_super(slot, s):
+        """Issue out-DMAs for super s; merge carry at the head chunk and
+        hold the tail chunk in the carry instead of writing it."""
         for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
+            c = s * SUP + k
+
+            @pl.when(c < n_ch)
             def _():
-                dma_out(slot, k, s * SUP + k).start()
+                is_first = c == 0
+                is_last = c == n_ch - 1
+
+                # head chunk shared with the previous tile: lanes < head
+                # hold its grads (carried in pend_ref)
+                @pl.when(jnp.logical_and(is_first, head > 0))
+                def _():
+                    cur = vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)]
+                    vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)] = jnp.where(
+                        lane128 < head, pend_ref[:, :], cur
+                    )
+
+                @pl.when(jnp.logical_and(is_last, tail_partial))
+                def _():
+                    # hold: this chunk's tail lanes belong to the next tile
+                    cur = vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)]
+                    pend_ref[:, :] = jnp.where(lane128 < end_off, cur, 0.0)
+
+                @pl.when(jnp.logical_not(jnp.logical_and(is_last, tail_partial)))
+                def _():
+                    dma_out(slot, k, c).start()
 
     def wait_super_out(slot, s):
         for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
-            def _():
-                dma_out(slot, k, s * SUP + k).wait()
+            c = s * SUP + k
 
-    @pl.when(n_ch > 0)
+            @pl.when(
+                jnp.logical_and(
+                    c < n_ch,
+                    jnp.logical_not(
+                        jnp.logical_and(c == n_ch - 1, tail_partial)
+                    ),
+                )
+            )
+            def _():
+                dma_out(slot, k, c).wait()
+
+    @pl.when(count > 0)
     def _():
         start_super_in(0, 0)
 
@@ -378,9 +431,10 @@ def _bwd_kernel(
             def _():
                 wait_super_out(slot, s - 2)
 
-            # zero stale/uninitialized lanes (0 * NaN poisons matmuls)
+            # two-sided lane mask (head/tail lanes are other tiles' slots)
             lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-            lane_valid = (s * L + lane_row) < n_ch * chunk
+            g = s * L + lane_row
+            lane_valid = (g >= head) & (g < end)
             buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
             alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
                 buf, px, py
@@ -455,7 +509,7 @@ def _bwd_kernel(
             vbuf_ref[slot, 4:5, :] = 0.5 * s_dy2  # v_conic_c
             vbuf_ref[slot, 5:6, :] = v_op
             vbuf_ref[slot, 6 : 6 + D, :] = v_col
-            start_super_out(slot, s)
+            emit_super(slot, s)
 
             # update carries
             t_new = t_prev * jnp.min(
@@ -489,6 +543,7 @@ def _bwd_kernel(
             wait_super_out(jax.lax.rem(f - 1, 2), f - 1)
 
         # zero-fill the skipped tail so the reduction reads exact zeros
+        # (same per-chunk merge/hold protocol, with zero data)
         @pl.when(f < n_sup)
         def _():
             vbuf_ref[0] = jnp.zeros_like(vbuf_ref[0])
@@ -501,7 +556,7 @@ def _bwd_kernel(
                 def _():
                     wait_super_out(slot, s - 2)
 
-                start_super_out(slot, s)
+                emit_super(slot, s)
                 return ()
 
             jax.lax.fori_loop(f, n_sup, zbody, ())
@@ -512,6 +567,23 @@ def _bwd_kernel(
 
             wait_super_out(jax.lax.rem(n_sup - 1, 2), n_sup - 1)
 
+    # Final grid step: flush the carried partial chunk (the live stream's
+    # last chunk when its end is not 128-aligned).  Tail lanes are zero.
+    @pl.when(t == n_t - 1)
+    def _():
+        live_end = base * CHUNK + end  # == total live slots
+        last_off = live_end % CHUNK
+
+        @pl.when(last_off > 0)
+        def _():
+            flush = pltpu.make_async_copy(
+                pend_ref,
+                v_isect_hbm.at[:, pl.ds((live_end // CHUNK) * CHUNK, CHUNK)],
+                fsem.at[0],
+            )
+            flush.start()
+            flush.wait()
+
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
@@ -521,16 +593,16 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk", "n_channels", "tiles_w", "tiles_per_image",
+        "n_channels", "tiles_w", "tiles_per_image",
         "width", "height", "n_tiles",
     ),
 )
 def _fwd_call(
-    isect_data: jax.Array,  # [F, A] field-major
-    chunk_starts: jax.Array,  # [T]
-    n_chunks: jax.Array,  # [T]
+    isect_data: jax.Array,  # [F, P_pad] field-major sorted layout
+    base: jax.Array,  # [T] chunk index of tile start
+    head: jax.Array,  # [T]
+    count: jax.Array,  # [T]
     *,
-    chunk: int,
     n_channels: int,
     tiles_w: int,
     tiles_per_image: int,
@@ -541,7 +613,7 @@ def _fwd_call(
     F = isect_data.shape[0]
     D = n_channels
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -549,14 +621,13 @@ def _fwd_call(
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
+            pltpu.VMEM((2, F, SUP * CHUNK), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, SUP)),
         ],
     )
     kernel = functools.partial(
         _fwd_kernel,
-        chunk=chunk,
         n_channels=n_channels,
         tiles_w=tiles_w,
         tiles_per_image=tiles_per_image,
@@ -570,27 +641,28 @@ def _fwd_call(
             jax.ShapeDtypeStruct((n_tiles, D, N_PIX), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, N_PIX), jnp.float32),
         ],
+        compiler_params=_seq_params(),
         interpret=_interpret(),
-    )(chunk_starts, n_chunks, isect_data)
+    )(base, head, count, isect_data)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk", "n_channels", "tiles_w", "tiles_per_image",
+        "n_channels", "tiles_w", "tiles_per_image",
         "width", "height", "n_tiles",
     ),
 )
 def _bwd_call(
-    isect_data: jax.Array,  # [F, A]
-    chunk_starts: jax.Array,
-    n_chunks: jax.Array,
+    isect_data: jax.Array,  # [F, P_pad]
+    base: jax.Array,
+    head: jax.Array,
+    count: jax.Array,
     v_pix: jax.Array,  # [T, D, 256]
     v_tfinal: jax.Array,  # [T, 1, 256]
     pix_out: jax.Array,  # [T, D, 256]
     t_final: jax.Array,  # [T, 1, 256]
     *,
-    chunk: int,
     n_channels: int,
     tiles_w: int,
     tiles_per_image: int,
@@ -599,9 +671,13 @@ def _bwd_call(
     n_tiles: int,
 ):
     F = isect_data.shape[0]
+    P_pad = isect_data.shape[1]
     D = n_channels
+    # rows beyond 6+D are DMA alignment padding (may carry scratch garbage;
+    # the reduction never reads them)
+    F_out = -(-(6 + D) // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -612,30 +688,30 @@ def _bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
-            pltpu.VMEM((2, F, SUP * chunk), jnp.float32),
+            pltpu.VMEM((2, F, SUP * CHUNK), jnp.float32),
+            pltpu.VMEM((2, F_out, SUP * CHUNK), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((F_out, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2, SUP)),
             pltpu.SemaphoreType.DMA((2, SUP)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     kernel = functools.partial(
         _bwd_kernel,
-        chunk=chunk,
         n_channels=n_channels,
         tiles_w=tiles_w,
         tiles_per_image=tiles_per_image,
         width=width,
         height=height,
     )
-    # No zero-init of v_isect is needed: every aligned slot inside a tile's
-    # chunk span is written by the backward loop (padding rows compute to
-    # exact zeros since their opacity is 0), and slots beyond the last
-    # tile's span sort to the sentinel tail of the reduction.
+    # Slots in the sentinel tail (beyond the last tile's span) are never
+    # written — the reduction masks them by position (ops/rasterize.py).
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(isect_data.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((F_out, P_pad), jnp.float32)],
+        compiler_params=_seq_params(),
         interpret=_interpret(),
-    )(chunk_starts, n_chunks, isect_data, v_pix, v_tfinal, pix_out, t_final)
+    )(base, head, count, isect_data, v_pix, v_tfinal, pix_out, t_final)

@@ -95,6 +95,7 @@ def render_projected(
     masks: Optional[jax.Array] = None,  # [I, th, tw]
     absgrad: bool = False,
     means2d_abs: Optional[jax.Array] = None,
+    row_capacity: Optional[int] = None,
 ):
     """Tile-intersect, sort, and rasterize already-projected splats.
 
@@ -118,6 +119,7 @@ def render_projected(
         tile_size=tile_size,
         absgrad=absgrad,
         means2d_abs=means2d_abs,
+        row_capacity=row_capacity,
     )
 
 
@@ -150,6 +152,7 @@ def rasterization(
     covars: Optional[jax.Array] = None,  # [..., N, 3, 3] or [..., N, 6]
     masks: Optional[jax.Array] = None,  # [..., C, th, tw] bool tile masks
     isect_capacity: Optional[int] = None,
+    row_capacity: Optional[int] = None,
     means2d_offset: Optional[jax.Array] = None,  # [..., C, N, 2] grad carrier
     with_ut: bool = False,
     with_eval3d: bool = False,
@@ -452,6 +455,7 @@ def rasterization(
         masks=masks_f,
         absgrad=absgrad,
         means2d_abs=m2_abs,
+        row_capacity=row_capacity,
     )
 
     if render_mode_has_expected_depth(render_mode):

@@ -15,7 +15,7 @@ from jax.sharding import Mesh
 from gsplat_tpu.parallel import rasterization_sharded
 from gsplat_tpu.rendering import rasterization
 
-W, H = 64, 48
+W, H = 48, 32
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +27,7 @@ def mesh():
 @pytest.fixture(scope="module")
 def scene():
     rng = np.random.default_rng(11)
-    N, C = 320, 8  # both divisible by 8
+    N, C = 160, 8  # both divisible by 8 (mesh axis)
     means = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
     means[:, 2] = rng.uniform(2, 8, N)
     quats = rng.standard_normal((N, 4)).astype(np.float32)
