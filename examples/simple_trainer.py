@@ -39,10 +39,16 @@ import jax
 import jax.numpy as jnp
 
 from gsplat_tpu.losses import l1_loss, ssim, ssim_loss
-from gsplat_tpu.optimizers import adam_init, selective_adam_update
+from gsplat_tpu.optimizers import adam_init, adam_update, selective_adam_update
 from gsplat_tpu.rendering import rasterization
 from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
-from gsplat_tpu.training import exponential_lr
+from gsplat_tpu.training import (
+    apply_pose_deltas,
+    exponential_lr,
+    init_pose_deltas,
+    load_lpips_weights,
+    lpips,
+)
 
 
 @dataclass
@@ -77,6 +83,15 @@ class Config:
     quats_lr: float = 1e-3
     sh0_lr: float = 2.5e-3
     shN_lr: float = 2.5e-3 / 20
+    # pose optimization (reference simple_trainer.py:213-217,527-535)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
+    pose_noise: float = 0.0  # perturb training poses (pose-opt testing)
+    # resume from a checkpoint written by _save (reference Config.ckpt :82)
+    ckpt: str = ""
+    # optional LPIPS(VGG) weights npz for eval (see training/metrics.py)
+    lpips_weights: str = ""
 
 
 def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
@@ -89,6 +104,18 @@ def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
     tree = cKDTree(points)
     d, _ = tree.query(points, k=k)
     return d[:, 1:].mean(axis=1)
+
+
+def _invert_se3(mats: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable SE3 inverse: [R|t]^-1 = [R^T | -R^T t]."""
+    R = mats[..., :3, :3]
+    t = mats[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -Rt @ t], axis=-1)
+    return jnp.concatenate(
+        [top, jnp.broadcast_to(jnp.asarray([[0.0, 0, 0, 1]]), top.shape[:-2] + (1, 4))],
+        axis=-2,
+    )
 
 
 def create_splats(
@@ -208,6 +235,31 @@ class Runner:
         )
         self.opt_state = adam_init(self.params)
         self.key = jax.random.PRNGKey(cfg.seed)
+        self.start_step = 0
+
+        n_train = (
+            len(self.train_views) if cfg.data == "npz"
+            else len(self.trainset.indices)
+        )
+        self.pose_deltas = init_pose_deltas(n_train)
+        self.pose_opt_state = adam_init({"pose": self.pose_deltas})
+        if cfg.pose_noise > 0:
+            # perturb training poses so pose-opt has an error to recover
+            rngp = np.random.default_rng(cfg.seed + 1)
+            noise = rngp.normal(0, cfg.pose_noise, (n_train, 9)).astype(
+                np.float32
+            )
+            self.pose_perturb = jnp.asarray(noise)
+        else:
+            self.pose_perturb = None
+        self.lpips_w = (
+            load_lpips_weights(cfg.lpips_weights)
+            if cfg.lpips_weights and os.path.exists(cfg.lpips_weights)
+            else None
+        )
+
+        if cfg.ckpt:
+            self._load(cfg.ckpt)
 
         bs_scale = math.sqrt(cfg.batch_size)
         self.lrs = {
@@ -250,12 +302,20 @@ class Runner:
         )
 
         @jax.jit
-        def train_step(params, opt_state, alive, viewmats, Ks, pixels):
+        def train_step(params, opt_state, alive, viewmats, Ks, pixels,
+                       pose_deltas, cam_ids):
             offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
-            def loss_fn(p, offset):
+            def loss_fn(p, offset, pose):
+                vm = viewmats
+                if cfg.pose_opt:
+                    # adjust camtoworlds by the per-camera deltas, then
+                    # invert back to viewmats (differentiable SE3 inverse)
+                    c2w = _invert_se3(vm)
+                    c2w = apply_pose_deltas(c2w, pose[cam_ids])
+                    vm = _invert_se3(c2w)
                 colors, alphas, meta = self.render(
-                    p, alive, viewmats, Ks, sh_degree, offset=offset,
+                    p, alive, vm, Ks, sh_degree, offset=offset,
                     absgrad=absgrad,
                 )
                 colors = jnp.clip(colors, 0.0, 1.0)
@@ -269,14 +329,16 @@ class Runner:
                     loss += cfg.scale_reg * jnp.mean(
                         jnp.where(alive[:, None], jnp.exp(p["scales"]), 0.0)
                     )
-                return loss, meta["radii"]
+                if cfg.pose_opt and cfg.pose_opt_reg > 0:
+                    loss += cfg.pose_opt_reg * jnp.sum(pose ** 2)
+                return loss, (meta["radii"], meta["isect_overflow"])
 
-            (loss, radii), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params, offset0)
-            g_params, g_screen = grads
+            (loss, (radii, overflow)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(params, offset0, pose_deltas)
+            g_params, g_screen, g_pose = grads
             visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-            return loss, g_params, g_screen, radii, visibility
+            return loss, g_params, g_screen, g_pose, radii, visibility, overflow
 
         return train_step
 
@@ -321,23 +383,46 @@ class Runner:
 
         params, opt_state, alive = self.params, self.opt_state, self.alive
         state = self.strategy_state
+        pose_deltas = self.pose_deltas
+        overflow_steps = 0
+        if self.pose_perturb is not None:
+            # corrupt the training poses (ground truth stays in eval)
+            c2w = _invert_se3(jnp.asarray(viewmats_all))
+            c2w = apply_pose_deltas(c2w, self.pose_perturb)
+            viewmats_all = _invert_se3(c2w)
         t0 = time.time()
-        for step in range(cfg.max_steps):
+        for step in range(self.start_step, cfg.max_steps):
             sh_degree = sh_sched(step)
             if sh_degree not in train_steps:
                 train_steps[sh_degree] = self.make_train_step(sh_degree)
             idx = rng.integers(0, n_train, C)
             vm, ks = viewmats_all[idx], Ks_all[idx]
             px = targets[idx]
+            cam_ids = jnp.asarray(idx, jnp.int32)
 
-            loss, g_params, g_screen, radii, visibility = train_steps[
-                sh_degree
-            ](params, opt_state, alive, vm, ks, px)
+            (loss, g_params, g_screen, g_pose, radii, visibility,
+             overflow) = train_steps[sh_degree](
+                params, opt_state, alive, vm, ks, px, pose_deltas, cam_ids
+            )
 
             lr_scale = 0.01 ** (step / cfg.max_steps)
             params, opt_state = update(
                 params, opt_state, g_params, visibility, lr_scale
             )
+            if cfg.pose_opt:
+                pd, self.pose_opt_state = adam_update(
+                    {"pose": pose_deltas}, {"pose": g_pose},
+                    self.pose_opt_state, {"pose": cfg.pose_opt_lr},
+                )
+                pose_deltas = pd["pose"]
+            if step % 100 == 0 and bool(overflow):
+                overflow_steps += 1
+                print(
+                    f"WARNING step {step}: intersection capacity overflow "
+                    f"— splats truncated; raise --isect_capacity "
+                    f"(current {cfg.isect_capacity})",
+                    flush=True,
+                )
 
             # densification
             if cfg.strategy == "default":
@@ -381,9 +466,14 @@ class Runner:
                 self.params, self.alive = params, alive
                 self.eval(step, targets, viewmats_all, Ks_all)
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
-                self._save(step, params, alive)
+                self.pose_deltas = pose_deltas
+                self._save(step, params, alive, opt_state, state)
 
         self.params, self.opt_state, self.alive = params, opt_state, alive
+        self.pose_deltas = pose_deltas
+        if overflow_steps:
+            print(f"NOTE: {overflow_steps} steps hit isect-capacity overflow",
+                  flush=True)
         return params, alive
 
     def _make_npz_targets(self):
@@ -412,21 +502,68 @@ class Runner:
         mse = jnp.mean((colors - targets) ** 2)
         psnr = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
         s = float(ssim(colors, targets))
-        print(f"eval @{step}: PSNR {psnr:.2f} SSIM {s:.4f}", flush=True)
-        stats = {"step": step, "psnr": psnr, "ssim": s,
+        lp = None
+        if self.lpips_w is not None:
+            lp = float(jnp.mean(lpips(colors, targets, self.lpips_w)))
+        print(f"eval @{step}: PSNR {psnr:.2f} SSIM {s:.4f}"
+              + (f" LPIPS {lp:.4f}" if lp is not None else ""), flush=True)
+        stats = {"step": step, "psnr": psnr, "ssim": s, "lpips": lp,
                  "n_gs": int(jnp.sum(self.alive))}
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
         return psnr, s
 
-    def _save(self, step, params, alive):
+    def _save(self, step, params, alive, opt_state=None, state=None):
+        """Full-state checkpoint: params + optimizer + strategy + pose.
+
+        Parity: simple_trainer.py:1040-1072 (ckpt dict incl. step, splats,
+        pose_adjust); here the optimizer moments and strategy state ride
+        along too, so --ckpt resumes training exactly.
+        """
+        opt_state = opt_state if opt_state is not None else self.opt_state
+        state = state if state is not None else self.strategy_state
         out = os.path.join(self.cfg.result_dir, f"ckpt_{step}.npz")
-        np.savez(
-            out,
-            alive=np.asarray(alive),
-            **{k: np.asarray(v) for k, v in params.items()},
-        )
+        flat = {
+            "step": np.asarray(step),
+            "alive": np.asarray(alive),
+            "key": np.asarray(self.key),
+            "pose_deltas": np.asarray(self.pose_deltas),
+            "opt_count": np.asarray(opt_state.count),
+        }
+        for k, v in params.items():
+            flat[f"p_{k}"] = np.asarray(v)
+            flat[f"mu_{k}"] = np.asarray(opt_state.mu[k])
+            flat[f"nu_{k}"] = np.asarray(opt_state.nu[k])
+        for k, v in state.items():
+            flat[f"ss_{k}"] = np.asarray(v)
+        np.savez(out, **flat)
         print(f"saved {out}", flush=True)
+
+    def _load(self, path):
+        """Resume from a _save checkpoint (inverse of _save)."""
+        d = np.load(path)
+        params = {
+            k[2:]: jnp.asarray(d[k]) for k in d.files if k.startswith("p_")
+        }
+        mu = {k[3:]: jnp.asarray(d[k]) for k in d.files if k.startswith("mu_")}
+        nu = {k[3:]: jnp.asarray(d[k]) for k in d.files if k.startswith("nu_")}
+        self.params = params
+        self.alive = jnp.asarray(d["alive"])
+        self.opt_state = self.opt_state._replace(
+            mu=mu, nu=nu, count=jnp.asarray(d["opt_count"])
+        )
+        self.key = jnp.asarray(d["key"])
+        self.pose_deltas = jnp.asarray(d["pose_deltas"])
+        self.pose_opt_state = adam_init({"pose": self.pose_deltas})
+        for k in list(self.strategy_state):
+            if f"ss_{k}" in d.files:
+                v = d[f"ss_{k}"]
+                self.strategy_state[k] = (
+                    float(v) if v.ndim == 0 and k == "scene_scale"
+                    else jnp.asarray(v)
+                )
+        self.start_step = int(d["step"]) + 1
+        print(f"resumed from {path} at step {self.start_step}", flush=True)
 
 
 def main():

@@ -76,7 +76,8 @@ class Runner2DGS(BaseRunner):
             use_normal, use_dist = step_flags
 
             @jax.jit
-            def train_step(params, opt_state, alive, viewmats, Ks, pixels):
+            def train_step(params, opt_state, alive, viewmats, Ks, pixels,
+                           pose_deltas, cam_ids):
                 offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
                 def loss_fn(p, offset):
@@ -93,21 +94,24 @@ class Runner2DGS(BaseRunner):
                         )
                     if use_dist:
                         loss += cfg.dist_lambda * jnp.mean(distort)
-                    return loss, meta["radii"]
+                    return loss, (meta["radii"], meta["isect_overflow"])
 
-                (loss, radii), grads = jax.value_and_grad(
+                (loss, (radii, overflow)), grads = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(params, offset0)
                 g_params, g_screen = grads
+                g_pose = jnp.zeros_like(pose_deltas)
                 visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-                return loss, g_params, g_screen, radii, visibility
+                return (loss, g_params, g_screen, g_pose, radii,
+                        visibility, overflow)
 
             return train_step
 
         # cache per (normal, dist) flag combination; the trainer picks by step
         cache = {}
 
-        def dispatch(params, opt_state, alive, vm, ks, px, step=[0]):
+        def dispatch(params, opt_state, alive, vm, ks, px,
+                     pose_deltas, cam_ids, step=[0]):
             flags = (
                 step[0] >= cfg.normal_start_iter,
                 step[0] >= cfg.dist_start_iter,
@@ -115,7 +119,8 @@ class Runner2DGS(BaseRunner):
             if flags not in cache:
                 cache[flags] = build(flags)
             step[0] += 1
-            return cache[flags](params, opt_state, alive, vm, ks, px)
+            return cache[flags](params, opt_state, alive, vm, ks, px,
+                                pose_deltas, cam_ids)
 
         return dispatch
 

@@ -362,6 +362,206 @@ def _round_up_int(x: int, m: int) -> int:
 # fields are never materialized at row-record granularity in HBM.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Kernel A0: row-record expansion (gaussian table -> per-tile-row interval
+# records).  Replaces an XLA fill-forward + per-element row gather (which
+# runs ~1.5ns/element on TPU) with a windowed one-hot selection plus the
+# closed-form ellipse-row interval math on the VPU.
+# ---------------------------------------------------------------------------
+
+# gaussian-table row indices for expand_rows (f32, [24, E_pad]):
+GG_EX_HI = 0  # exclusive row-count cumsum, hi 20 bits
+GG_EX_LO = 1
+GG_IN_HI = 2
+GG_IN_LO = 3
+GG_RY0 = 4  # first covered tile row
+GG_IM = 5  # image id (sentinel n_images for dummies)
+GG_TMINX = 6
+GG_TMAXX = 7
+GG_AABB = 8  # 1.0 = fall back to the AABB interval
+GG_MX = 9
+GG_MY = 10
+GG_A = 11  # conic a
+GG_B = 12
+GG_C = 13
+GG_SIG = 14  # sigma_max = log(op / alpha_threshold), inflated
+GG_YEXT = 15
+GG_XEXT = 16
+GG_DET = 17
+GG_ROWS = 18  # padded to 24 for DMA alignment
+
+
+def _expand_rows_kernel(
+    # scalar prefetch
+    gwin_ref,  # [Kr] int32 gaussian window bases (multiples of LANE)
+    nrows_ref,  # [1] int32 live row records
+    # inputs
+    table_gg_hbm,  # [24, E_pad] f32
+    # outputs
+    out_ref,  # (8, CH): X0, TY, IM, W, GID_HI, GID_LO, pad, pad
+    # scratch
+    buf_ref,  # (2, 24, W_A)
+    sem,
+    *,
+    tile_size: int,
+    n_images: int,
+):
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    def dma(slot, cc):
+        off = pl.multiple_of(gwin_ref[cc], LANE)
+        return pltpu.make_async_copy(
+            table_gg_hbm.at[:, pl.ds(off, W_A)], buf_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        dma(0, 0).start()
+
+    slot = jax.lax.rem(c, 2)
+
+    @pl.when(c + 1 < n_c)
+    def _():
+        dma(1 - slot, c + 1).start()
+
+    dma(slot, c).wait()
+    win = buf_ref[slot]  # (24, W_A)
+    row0 = c * CH
+
+    r_col = row0 + jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)  # (CH,1)
+    gh_ex = _recombine(win[GG_EX_HI : GG_EX_HI + 1, :],
+                       win[GG_EX_LO : GG_EX_LO + 1, :])
+    gh_in = _recombine(win[GG_IN_HI : GG_IN_HI + 1, :],
+                       win[GG_IN_LO : GG_IN_LO + 1, :])
+    live = r_col < nrows_ref[0]
+    hot = ((r_col >= gh_ex) & (r_col < gh_in) & live).astype(jnp.float32)
+
+    jf = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1).astype(jnp.float32)
+    ones = jnp.ones((1, W_A), jnp.float32)
+    sel = _sel(jnp.concatenate([win, jf, ones], axis=0), hot)  # (26, CH)
+    found = sel[-1:] > 0.0
+    gid = gwin_ref[c] + sel[-2:-1].astype(jnp.int32)
+    g_ex = _recombine(sel[GG_EX_HI : GG_EX_HI + 1],
+                      sel[GG_EX_LO : GG_EX_LO + 1])
+    ry0 = sel[GG_RY0 : GG_RY0 + 1].astype(jnp.int32)
+    im = sel[GG_IM : GG_IM + 1].astype(jnp.int32)
+    tminx = sel[GG_TMINX : GG_TMINX + 1].astype(jnp.int32)
+    tmaxx = sel[GG_TMAXX : GG_TMAXX + 1].astype(jnp.int32)
+    aabb = sel[GG_AABB : GG_AABB + 1] > 0.5
+    mx = sel[GG_MX : GG_MX + 1]
+    my = sel[GG_MY : GG_MY + 1]
+    a = jnp.maximum(sel[GG_A : GG_A + 1], 1e-12)
+    b = sel[GG_B : GG_B + 1]
+    cc_ = jnp.maximum(sel[GG_C : GG_C + 1], 1e-12)
+    sig = sel[GG_SIG : GG_SIG + 1]
+    yext = sel[GG_YEXT : GG_YEXT + 1]
+    xext = sel[GG_XEXT : GG_XEXT + 1]
+    det = sel[GG_DET : GG_DET + 1]
+
+    r_row = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    q = r_row - g_ex
+    ty = ry0 + q
+    ts = float(tile_size)
+
+    # exact x-interval of the ellipse over the tile-row band (see
+    # ops/rasterize.py:make_tight_plan for the derivation)
+    u0 = ty.astype(jnp.float32) * ts - my
+    u1 = u0 + ts
+    uc0 = jnp.clip(u0, -yext, yext)
+    uc1 = jnp.clip(u1, -yext, yext)
+
+    def dx_hi(u):
+        disc = jnp.maximum(2.0 * sig * a - det * u * u, 0.0)
+        return (-b * u + jnp.sqrt(disc)) / a
+
+    def dx_lo(u):
+        disc = jnp.maximum(2.0 * sig * a - det * u * u, 0.0)
+        return (-b * u - jnp.sqrt(disc)) / a
+
+    u_star_hi = -(b / cc_) * xext
+    u_star_lo = (b / cc_) * xext
+    hi = jnp.maximum(dx_hi(uc0), dx_hi(uc1))
+    hi = jnp.where((u_star_hi >= uc0) & (u_star_hi <= uc1), xext, hi)
+    lo = jnp.minimum(dx_lo(uc0), dx_lo(uc1))
+    lo = jnp.where((u_star_lo >= uc0) & (u_star_lo <= uc1), -xext, lo)
+    hi = hi + 1e-3
+    lo = lo - 1e-3
+
+    x0 = jnp.clip(
+        jnp.floor((mx + lo) / ts).astype(jnp.int32),
+        tminx, jnp.maximum(tmaxx - 1, tminx),
+    )
+    x1 = jnp.clip(jnp.ceil((mx + hi) / ts).astype(jnp.int32), x0 + 1, tmaxx)
+    x0 = jnp.where(aabb, tminx, x0)
+    x1 = jnp.where(aabb, tmaxx, x1)
+    w = jnp.maximum(x1 - x0, 1)
+
+    is_dummy = im == n_images
+    x0 = jnp.where(is_dummy, 0, x0)
+    ty = jnp.where(is_dummy, 0, ty)
+    w = jnp.where(is_dummy, 1, w)
+
+    x0 = jnp.where(found, x0, 0)
+    ty = jnp.where(found, ty, 0)
+    im = jnp.where(found, im, n_images)
+    w = jnp.where(found, w, 0)
+    gid = jnp.where(found, gid, 0)
+
+    out_ref[0:1, :] = x0.astype(jnp.float32)
+    out_ref[1:2, :] = ty.astype(jnp.float32)
+    out_ref[2:3, :] = im.astype(jnp.float32)
+    out_ref[3:4, :] = w.astype(jnp.float32)
+    out_ref[4:5, :] = (gid >> 12).astype(jnp.float32)
+    out_ref[5:6, :] = (gid & 0xFFF).astype(jnp.float32)
+    out_ref[6:8, :] = jnp.zeros((2, CH), jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_size", "n_images", "kr")
+)
+def expand_rows(
+    table_gg: jax.Array,  # [24, E_pad] f32
+    gwin: jax.Array,  # [Kr] int32 (multiples of LANE)
+    n_rows: jax.Array,  # [1] int32
+    *,
+    tile_size: int,
+    n_images: int,
+    kr: int,
+):
+    """Expand per-gaussian geometry to per-tile-row interval records.
+
+    Returns (x0 [R] i32, ty [R] i32, im [R] i32, w [R] i32, gid [R] i32)
+    with R = kr * CH.
+    """
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(kr,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((8, CH), lambda c, *_: (0, c))],
+        scratch_shapes=[
+            pltpu.VMEM((2, table_gg.shape[0], W_A), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand_rows_kernel, tile_size=tile_size, n_images=n_images
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, kr * CH), jnp.float32)],
+        interpret=_interpret(),
+    )(gwin, n_rows, table_gg)
+    x0 = out[0].astype(jnp.int32)
+    ty = out[1].astype(jnp.int32)
+    im = out[2].astype(jnp.int32)
+    w = out[3].astype(jnp.int32)
+    gid = _recombine(out[4], out[5])
+    return x0, ty, im, w, gid
+
+
 # table_rr row indices (f32, [9, R_pad]):
 RR_CUMEX_HI = 0  # exclusive slot cumsum over row records, hi 20 bits
 RR_CUMEX_LO = 1

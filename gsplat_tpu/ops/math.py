@@ -16,12 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
-def normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
-    """L2-normalize along `axis` (safe for zero vectors when eps > 0)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    if eps:
-        n = jnp.maximum(n, eps)
-    return x / n
+def normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along `axis`, safe for zero vectors AND their grads.
+
+    The clamp sits on the squared sum (not the norm): sqrt's derivative at
+    zero is infinite, and `0 * inf = NaN` would leak through `where`/`max`
+    into gradients of culled gaussians (zero quats -> NaN everywhere).
+    Zero vectors normalize to zero, matching torch.nn.functional.normalize
+    (the reference's _torch_impl renders zero quats as identity rotations).
+    """
+    s = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(s, eps * eps))
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:

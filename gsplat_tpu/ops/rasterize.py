@@ -55,6 +55,7 @@ from .gather_pallas import (
     align_rows,
     expand_emission,
     expand_emission2,
+    expand_rows,
 )
 from .isect import _fill_forward_index, build_tile_worklist
 from .projection import ALPHA_THRESHOLD
@@ -214,83 +215,39 @@ def make_tight_plan(
     gh_bounds = jnp.concatenate([gh_ex, n_rows[None]])
     gh_bounds = jnp.clip(gh_bounds, 0, row_cap)
 
-    # row-record expansion: boundary scatter + cummax fill-forward, then one
-    # packed row gather of the per-gaussian attributes (TPU-fast; see
-    # ops/isect.py notes on gather costs)
-    gid_r = _fill_forward_index(gh_ex, h_pad > 0, row_cap)  # [row_cap]
+    # row-record expansion in Pallas (windowed one-hot selection + the
+    # closed-form interval math; replaces an XLA fill-forward + per-element
+    # row gather which runs ~1.5ns/element on TPU)
     im_eff = jnp.where(dummy, I, im_g).astype(jnp.int32)
     f32 = lambda v: v.astype(jnp.float32)
-    gtable = jnp.stack(
-        [
-            f32(gh_ex), f32(ry0), f32(im_eff), f32(tminx), f32(tmaxx),
-            jnp.where(use_aabb, 1.0, 0.0),
-            mx_s, my_s, a_s, b_s, c_s, sig_s, yext, xext, det_s,
-        ],
-        axis=1,
-    )  # [E, 15]
-    at = gtable[gid_r]  # [row_cap, 15]
-    g_ex_r = at[:, 0].astype(jnp.int32)
-    ry0_r = at[:, 1].astype(jnp.int32)
-    im_r = at[:, 2].astype(jnp.int32)
-    tminx_r = at[:, 3].astype(jnp.int32)
-    tmaxx_r = at[:, 4].astype(jnp.int32)
-    aabb_r = at[:, 5] > 0.5
-    mx_r, my_r = at[:, 6], at[:, 7]
-    a_r, b_r, c_r = at[:, 8], at[:, 9], at[:, 10]
-    sig_r, yext_r, xext_r, det_r = at[:, 11], at[:, 12], at[:, 13], at[:, 14]
+    exh_g, exl_g = _hi_lo(gh_ex)
+    inh_g, inl_g = _hi_lo(gh_in)
+    tot_hi_g, tot_lo_g = _hi_lo(gh_in[-1:])
+    pad = lambda r, v: _pad_tail(r, W_A, v)
+    gg_rows = [
+        jnp.concatenate([exh_g, jnp.broadcast_to(tot_hi_g, (W_A,))]),
+        jnp.concatenate([exl_g, jnp.broadcast_to(tot_lo_g, (W_A,))]),
+        jnp.concatenate([inh_g, jnp.broadcast_to(tot_hi_g, (W_A,))]),
+        jnp.concatenate([inl_g, jnp.broadcast_to(tot_lo_g, (W_A,))]),
+        pad(f32(ry0), 0.0), pad(f32(im_eff), float(I)),
+        pad(f32(tminx), 0.0), pad(f32(tmaxx), 1.0),
+        pad(jnp.where(use_aabb, 1.0, 0.0), 0.0),
+        pad(mx_s, 0.0), pad(my_s, 0.0),
+        pad(a_s, 1.0), pad(b_s, 0.0), pad(c_s, 1.0),
+        pad(sig_s, 1.0), pad(yext, 1.0), pad(xext, 1.0), pad(det_s, 1.0),
+    ]
+    gg_rows += [jnp.zeros_like(gg_rows[0])] * (24 - len(gg_rows))
+    table_gg = jnp.stack(gg_rows)
 
-    r_ids = jnp.arange(row_cap, dtype=jnp.int32)
-    q = r_ids - g_ex_r
-    ty_r = ry0_r + q
+    Kr = row_cap // CH
+    rprobes = jnp.arange(Kr, dtype=jnp.int32) * CH
+    first_g = jnp.searchsorted(gh_in, rprobes, side="right").astype(jnp.int32)
+    gwin = jnp.clip((first_g // LANE) * LANE, 0, E)
 
-    # exact x-interval of the ellipse over the tile-row band
-    # [ty*ts, (ty+1)*ts]:  dx bounds at band edges plus the global extreme
-    # when its y lies inside the band (the x-extent function is concave /
-    # convex in y, so extremes sit at endpoints or the critical point)
-    u0 = ty_r.astype(jnp.float32) * ts - my_r
-    u1 = u0 + ts
-    uc0 = jnp.clip(u0, -yext_r, yext_r)
-    uc1 = jnp.clip(u1, -yext_r, yext_r)
-
-    def dx_hi(u):
-        disc = jnp.maximum(2.0 * sig_r * a_r - det_r * u * u, 0.0)
-        return (-b_r * u + jnp.sqrt(disc)) / a_r
-
-    def dx_lo(u):
-        disc = jnp.maximum(2.0 * sig_r * a_r - det_r * u * u, 0.0)
-        return (-b_r * u - jnp.sqrt(disc)) / a_r
-
-    u_star_hi = -(b_r / c_r) * xext_r
-    u_star_lo = (b_r / c_r) * xext_r
-    hi = jnp.maximum(dx_hi(uc0), dx_hi(uc1))
-    hi = jnp.where((u_star_hi >= uc0) & (u_star_hi <= uc1), xext_r, hi)
-    lo = jnp.minimum(dx_lo(uc0), dx_lo(uc1))
-    lo = jnp.where((u_star_lo >= uc0) & (u_star_lo <= uc1), -xext_r, lo)
-    hi = hi + 1e-3
-    lo = lo - 1e-3
-
-    x0_r = jnp.clip(
-        jnp.floor((mx_r + lo) / ts).astype(jnp.int32),
-        tminx_r,
-        jnp.maximum(tmaxx_r - 1, tminx_r),
+    x0_r, ty_r, im_r, w_r, gid_r = expand_rows(
+        table_gg, gwin, n_rows.reshape(1),
+        tile_size=tile_size, n_images=I, kr=Kr,
     )
-    x1_r = jnp.clip(
-        jnp.ceil((mx_r + hi) / ts).astype(jnp.int32), x0_r + 1, tmaxx_r
-    )
-    x0_r = jnp.where(aabb_r, tminx_r, x0_r)
-    x1_r = jnp.where(aabb_r, tmaxx_r, x1_r)
-    w_r = jnp.maximum(x1_r - x0_r, 1)
-
-    is_dummy_r = im_r == I
-    x0_r = jnp.where(is_dummy_r, 0, x0_r)
-    ty_r = jnp.where(is_dummy_r, 0, ty_r)
-    w_r = jnp.where(is_dummy_r, 1, w_r)
-
-    row_live = r_ids < n_rows
-    w_r = jnp.where(row_live, w_r, 0)
-    im_r = jnp.where(row_live, im_r, I)
-    x0_r = jnp.where(row_live, x0_r, 0)
-    ty_r = jnp.where(row_live, ty_r, 0)
 
     rr_cum_in = jnp.cumsum(w_r).astype(jnp.int32)
     rr_cum_ex = rr_cum_in - w_r
@@ -323,7 +280,7 @@ def make_tight_plan(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21, 22)
+    jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21, 22, 23)
 )
 def _rasterize_core(
     m2f,  # [E, 2] (original order)
@@ -345,12 +302,13 @@ def _rasterize_core(
     n_images: int,
     image_size: Tuple[int, int],
     absgrad: bool,
+    compact: bool = True,
 ):
     out, _ = _core_fwd(
         m2f, cnf, clf, opf, m2abs, depthf, rank, perm,
         rr_cum_ex, rr_cum_in, rr_geo,
         win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
-        tile_width, tile_height, n_images, image_size, absgrad,
+        tile_width, tile_height, n_images, image_size, absgrad, compact,
     )
     return out
 
@@ -360,7 +318,7 @@ def _core_fwd(
     rr_cum_ex, rr_cum_in, rr_geo,
     win1, win2, n_slots_arr, gh_bounds, dummy_i,
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad,
+    absgrad, compact=True,
 ):
     width, height = image_size
     D = n_channels
@@ -373,12 +331,16 @@ def _core_fwd(
     # (payload sort by rank — rank is a permutation, so the unstable 1-key
     # sort is deterministic).  TPU-fast: a payload sort at E elements beats
     # any gather/scatter formulation by an order of magnitude.
-    ops_c = jax.lax.sort(
-        (rank, depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
-         cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
-        num_keys=1, is_stable=False,
-    )
-    g_rows = list(ops_c[1:])
+    if compact:
+        ops_c = jax.lax.sort(
+            (rank, depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+             cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
+            num_keys=1, is_stable=False,
+        )
+        g_rows = list(ops_c[1:])
+    else:  # inputs already arrive in the plan's (compacted) order
+        g_rows = [depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+                  cnf[:, 2], opf] + [clf[:, i] for i in range(D)]
 
     # Gaussians without coverage may carry NaN/inf fields (e.g. degenerate
     # quats project to NaN conics; the reference never touches culled
@@ -456,7 +418,7 @@ def _core_fwd(
 
 def _core_bwd(
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, res, cts,
+    absgrad, compact, res, cts,
 ):
     (
         sorted_pad, flat_s, base, heads, counts, live_total, perm,
@@ -517,13 +479,14 @@ def _core_bwd(
     csg = cs[positions]  # [E+1, Wc] monotone row gather
     v_gauss = csg[1:] - csg[:-1]  # [E, Wc] in compacted order
 
-    # un-permute back to the caller's original order (payload sort by the
-    # original index — the exact inverse of the forward compaction)
-    uns = jax.lax.sort(
-        (perm,) + tuple(v_gauss[:, i] for i in range(Wc)),
-        num_keys=1, is_stable=False,
-    )
-    v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
+    if compact:
+        # un-permute back to the caller's original order (payload sort by
+        # the original index — the exact inverse of the forward compaction)
+        uns = jax.lax.sort(
+            (perm,) + tuple(v_gauss[:, i] for i in range(Wc)),
+            num_keys=1, is_stable=False,
+        )
+        v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]
@@ -596,7 +559,7 @@ def rasterize_to_pixels(
     cap_total = _round_up(isect_capacity, CH)
     if row_capacity is None:
         row_capacity = isect_capacity // 2
-    row_cap = _round_up(row_capacity, LANE)
+    row_cap = _round_up(max(row_capacity, 1), CH)
 
     # visibility compaction prep (non-differentiable; one payload sort)
     m2_sg = jax.lax.stop_gradient(means2d).reshape(E, 2)
@@ -679,6 +642,94 @@ def rasterize_to_pixels(
         "n_isects": plan.n_isects,
         "isect_overflow": plan.overflow,
         "tiles_per_gauss": aabb_cnt.reshape(I, N).astype(jnp.int32),
+    }
+    return render, render_alphas, aux
+
+
+def rasterize_to_pixels_packed(
+    means2d: jax.Array,  # [E, 2] compacted: rows < n_live are visible
+    conics: jax.Array,  # [E, 3]
+    colors: jax.Array,  # [E, D]
+    opacities: jax.Array,  # [E]
+    radii: jax.Array,  # [E, 2] int32 (for footprints; 0 rows are skipped)
+    depths: jax.Array,  # [E]
+    image_ids: jax.Array,  # [E] int32 destination image per row
+    n_live: jax.Array,  # [] int32
+    n_images: int,
+    image_width: int,
+    image_height: int,
+    isect_capacity: int,
+    backgrounds: Optional[jax.Array] = None,
+    masks: Optional[jax.Array] = None,
+    tile_size: int = TILE,
+    absgrad: bool = False,
+    means2d_abs: Optional[jax.Array] = None,
+    row_capacity: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
+    """Rasterize an already visibility-compacted splat list (packed mode).
+
+    The TPU analog of the reference's `packed=True` CSR interface
+    (rendering.py:348-362, Rendering.cpp:1002-1075): rows are (image,
+    gaussian) pairs with `image_ids` routing; memory and per-step work
+    scale with `E` (the packed capacity), not cameras x gaussians.
+    Gradients return in the SAME packed layout.  This is also the receiver
+    side of the distributed count-routed splat exchange
+    (parallel/render.py; DistributedCollectives.cpp:343-409 analog).
+    """
+    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
+    E = means2d.shape[0]
+    D = colors.shape[-1]
+    th = -(-image_height // tile_size)
+    tw = -(-image_width // tile_size)
+    cap_total = _round_up(isect_capacity, CH)
+    if row_capacity is None:
+        row_capacity = isect_capacity // 2
+    row_cap = _round_up(max(row_capacity, 1), CH)
+
+    # rows beyond n_live (or with zero radii) must not contribute: the plan
+    # treats them as dummies via the prefix mask; callers are expected to
+    # pack live rows first (e.g. the output of a ragged exchange)
+    plan = make_tight_plan(
+        means2d, radii, conics, opacities, image_ids, n_live, n_images,
+        tile_size, tw, th, cap_total, row_cap,
+    )
+    if means2d_abs is None:
+        means2d_abs = jnp.zeros((E, 2), means2d.dtype)
+    rr_geo = jnp.stack([plan.rr_x0, plan.rr_ty, plan.rr_im, plan.rr_gid])
+    iota = jnp.arange(E, dtype=jnp.int32)
+
+    pix_out, t_final = _rasterize_core(
+        means2d, conics, colors, opacities, means2d_abs,
+        jax.lax.stop_gradient(depths),
+        iota, iota,  # identity permutation (input is already packed)
+        plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
+        plan.win1, plan.win2, plan.n_slots,
+        plan.gh_bounds, plan.dummy.astype(jnp.int32),
+        cap_total, D, tw, th, n_images,
+        (image_width, image_height), absgrad, False,
+    )
+
+    I = n_images
+    render = untile_image(pix_out, I, th, tw, image_height, image_width)
+    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
+    render_alphas = 1.0 - t_img
+    if backgrounds is not None:
+        render = render + t_img * backgrounds[:, None, None, :]
+    if masks is not None:
+        mpix = jnp.repeat(
+            jnp.repeat(masks, tile_size, axis=1), tile_size, axis=2
+        )[:, :image_height, :image_width, None]
+        bg = (
+            backgrounds[:, None, None, :]
+            if backgrounds is not None
+            else jnp.zeros((I, 1, 1, D), render.dtype)
+        )
+        render = jnp.where(mpix, render, bg)
+        render_alphas = jnp.where(mpix, render_alphas, 0.0)
+
+    aux = {
+        "n_isects": plan.n_isects,
+        "isect_overflow": plan.overflow,
     }
     return render, render_alphas, aux
 

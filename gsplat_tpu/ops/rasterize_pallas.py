@@ -10,8 +10,8 @@ TPU-native redesign of the reference CUDA rasterizer
     field-major [F, P] in HBM and each tile reads its own UNALIGNED span
     [start, start+count) by DMA-ing 128-lane chunks from the floor-128 base
     with a two-sided lane mask (head lanes belong to the previous tile, tail
-    lanes to the next).  Chunks ride in SUP x 128-lane super-chunks with
-    double buffering.  Compositing runs in its associative form — per-chunk
+    lanes to the next).  Chunks ride through an NBUF-deep DMA pipeline;
+    compute and the whole-tile early exit run per 128-lane chunk.  Compositing runs in its associative form — per-chunk
     cumulative products of (1 - alpha) on the VPU and an MXU matmul for the
     color accumulation — with a whole-tile early exit when every pixel's
     transmittance saturates (the analog of the CUDA done-mask break,
@@ -59,7 +59,7 @@ from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
 CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
 DEFAULT_CHUNK = CHUNK  # legacy alias (2DGS/eval3d worklists still use it)
-SUP = 4  # 128-chunks per DMA super-chunk (512 lanes per loop iteration)
+NBUF = 8  # DMA pipeline depth in chunks (compute + early exit are per-chunk)
 TILE = 16  # tile_size for the Pallas path (pixels per side)
 N_PIX = TILE * TILE  # 256 pixels per tile
 
@@ -161,9 +161,9 @@ def _fwd_kernel(
     color_ref,  # (1, D, 256)
     tfinal_ref,  # (1, 1, 256)
     # scratch
-    buf_ref,  # (2, F, SUP*128) VMEM
+    buf_ref,  # (NBUF, F, 128) VMEM
     t_ref,  # (256, 1) VMEM running transmittance
-    sem,  # DMA semaphores (2, SUP)
+    sem,  # DMA semaphores (NBUF,)
     *,
     n_channels: int,
     tiles_w: int,
@@ -175,53 +175,40 @@ def _fwd_kernel(
     base = base_ref[t]
     head = head_ref[t]
     count = count_ref[t]
-    L = SUP * CHUNK
     n_ch = (head + count + CHUNK - 1) // CHUNK
-    n_sup = (n_ch + SUP - 1) // SUP
 
     px, py, _, _ = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)  # centers are at +0.5
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     color_ref[:] = jnp.zeros_like(color_ref)
 
-    def dma(slot, k, c):
+    def dma(c):
         off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
             isect_hbm.at[:, pl.ds(off, CHUNK)],
-            buf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
-            sem.at[slot, k],
+            buf_ref.at[slot],
+            sem.at[slot],
         )
-
-    def start_super(slot, s):
-        for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
-            def _():
-                dma(slot, k, s * SUP + k).start()
-
-    def wait_super(slot, s):
-        for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
-            def _():
-                dma(slot, k, s * SUP + k).wait()
 
     @pl.when(count > 0)
     def _():
-        start_super(0, 0)
+        # warm the pipeline: NBUF chunks in flight
+        for k in range(NBUF):
+            @pl.when(k < n_ch)
+            def _():
+                dma(k).start()
 
         def body(carry):
-            s, _ = carry
-            slot = jax.lax.rem(s, 2)
+            c, _ = carry
+            slot = jax.lax.rem(c, NBUF)
+            dma(c).wait()
 
-            @pl.when(s + 1 < n_sup)
-            def _():
-                start_super(1 - slot, s + 1)
-
-            wait_super(slot, s)
             # head lanes belong to the previous tile, tail lanes to the
             # next; both may carry arbitrary data (0 * NaN would poison
             # the matmuls): zero them before any use
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-            g = s * L + lane_row
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            g = c * CHUNK + lane_row
             valid_row = (g >= head) & (g < head + count)
             buf = jnp.where(valid_row, buf_ref[slot], 0.0)
 
@@ -232,9 +219,9 @@ def _fwd_kernel(
             cp_excl = _shift_right_one(cp_incl, 1.0)
             t_prev = t_ref[:]  # (256, 1)
             contribute = (t_prev * cp_incl) > TRANSMITTANCE_THRESHOLD
-            w = alpha * (t_prev * cp_excl) * contribute  # (256, L)
+            w = alpha * (t_prev * cp_excl) * contribute  # (256, 128)
 
-            colors = buf[6 : 6 + n_channels, :]  # (D, L)
+            colors = buf[6 : 6 + n_channels, :]  # (D, 128)
             acc = jax.lax.dot_general(
                 colors,
                 w,
@@ -248,21 +235,34 @@ def _fwd_kernel(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
             t_ref[:] = t_new
-            return s + 1, jnp.max(t_new)
+
+            # the slot is free now: refill it with chunk c + NBUF
+            @pl.when(c + NBUF < n_ch)
+            def _():
+                dma(c + NBUF).start()
+
+            return c + 1, jnp.max(t_new)
 
         def cond(carry):
-            s, tmax = carry
-            return (s < n_sup) & (tmax > TRANSMITTANCE_THRESHOLD)
+            c, tmax = carry
+            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        s_final, _ = jax.lax.while_loop(
+        c_final, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.float32(1.0))
         )
 
-        # On early exit a prefetch for super-chunk s_final may be in flight;
-        # drain it so the next grid step's DMAs can't race buffers/semaphores.
-        @pl.when(s_final < n_sup)
+        # On early exit, chunks [c_final, min(c_final+NBUF, n_ch)) may have
+        # DMAs in flight; drain them so the next grid step's DMAs can't
+        # race buffers/semaphores.
+        @pl.when(c_final < n_ch)
         def _():
-            wait_super(jax.lax.rem(s_final, 2), s_final)
+            def drain(c, _):
+                @pl.when(c < n_ch)
+                def _():
+                    dma(c).wait()
+                return ()
+
+            jax.lax.fori_loop(c_final, c_final + NBUF, drain, ())
 
     tfinal_ref[0] = jnp.transpose(t_ref[:], (1, 0))
 
@@ -286,13 +286,13 @@ def _bwd_kernel(
     # outputs
     v_isect_hbm,  # [F_out, P_pad] HBM — per-slot grads at sorted positions
     # scratch
-    buf_ref,  # (2, F, SUP*128)
-    vbuf_ref,  # (2, F_out, SUP*128)
+    buf_ref,  # (NBUF, F, 128)
+    vbuf_ref,  # (NBUF, F_out, 128)
     t_ref,  # (256, 1) replayed transmittance
     e_ref,  # (256, 1) running sum_{j<=i} w_j d_j
     pend_ref,  # (F_out, 128) carry: partial boundary chunk
-    sem,  # (2, SUP) in DMA semaphores
-    osem,  # (2, SUP) out DMA semaphores
+    sem,  # (NBUF,) in DMA semaphores
+    osem,  # (NBUF,) out DMA semaphores
     fsem,  # (1,) flush DMA semaphore
     *,
     n_channels: int,
@@ -308,9 +308,7 @@ def _bwd_kernel(
     count = count_ref[t]
     D = n_channels
     F_out = -(-(6 + D) // 8) * 8  # 8-aligned sublane count for DMA slices
-    L = SUP * CHUNK
     n_ch = (head + count + CHUNK - 1) // CHUNK
-    n_sup = (n_ch + SUP - 1) // SUP
     end = head + count
     end_off = end - (n_ch - 1) * CHUNK  # lanes of the last chunk that are ours
     tail_partial = jnp.logical_and(count > 0, end_off < CHUNK)
@@ -339,101 +337,72 @@ def _bwd_kernel(
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (F_out, CHUNK), 1)
 
-    def dma_in(slot, k, c):
+    def dma_in(c):
         off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
             isect_hbm.at[:, pl.ds(off, CHUNK)],
-            buf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
-            sem.at[slot, k],
+            buf_ref.at[slot],
+            sem.at[slot],
         )
 
-    def dma_out(slot, k, c):
+    def dma_out(c):
         off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
-            vbuf_ref.at[slot, :, pl.ds(k * CHUNK, CHUNK)],
+            vbuf_ref.at[slot],
             v_isect_hbm.at[:, pl.ds(off, CHUNK)],
-            osem.at[slot, k],
+            osem.at[slot],
         )
 
-    def start_super_in(slot, s):
-        for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
-            def _():
-                dma_in(slot, k, s * SUP + k).start()
+    def emit_chunk(c):
+        """Finish chunk c: merge the carry into the head chunk, hold the
+        partial tail chunk in the carry, else start its out-DMA."""
+        slot = jax.lax.rem(c, NBUF)
+        is_held = jnp.logical_and(c == n_ch - 1, tail_partial)
 
-    def wait_super_in(slot, s):
-        for k in range(SUP):
-            @pl.when(s * SUP + k < n_ch)
-            def _():
-                dma_in(slot, k, s * SUP + k).wait()
-
-    def emit_super(slot, s):
-        """Issue out-DMAs for super s; merge carry at the head chunk and
-        hold the tail chunk in the carry instead of writing it."""
-        for k in range(SUP):
-            c = s * SUP + k
-
-            @pl.when(c < n_ch)
-            def _():
-                is_first = c == 0
-                is_last = c == n_ch - 1
-
-                # head chunk shared with the previous tile: lanes < head
-                # hold its grads (carried in pend_ref)
-                @pl.when(jnp.logical_and(is_first, head > 0))
-                def _():
-                    cur = vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)]
-                    vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)] = jnp.where(
-                        lane128 < head, pend_ref[:, :], cur
-                    )
-
-                @pl.when(jnp.logical_and(is_last, tail_partial))
-                def _():
-                    # hold: this chunk's tail lanes belong to the next tile
-                    cur = vbuf_ref[slot, :, pl.ds(k * CHUNK, CHUNK)]
-                    pend_ref[:, :] = jnp.where(lane128 < end_off, cur, 0.0)
-
-                @pl.when(jnp.logical_not(jnp.logical_and(is_last, tail_partial)))
-                def _():
-                    dma_out(slot, k, c).start()
-
-    def wait_super_out(slot, s):
-        for k in range(SUP):
-            c = s * SUP + k
-
-            @pl.when(
-                jnp.logical_and(
-                    c < n_ch,
-                    jnp.logical_not(
-                        jnp.logical_and(c == n_ch - 1, tail_partial)
-                    ),
-                )
+        # head chunk shared with the previous tile: lanes < head hold its
+        # grads (carried in pend_ref)
+        @pl.when(jnp.logical_and(c == 0, head > 0))
+        def _():
+            vbuf_ref[slot] = jnp.where(
+                lane128 < head, pend_ref[:, :], vbuf_ref[slot]
             )
-            def _():
-                dma_out(slot, k, c).wait()
+
+        @pl.when(is_held)
+        def _():
+            # hold: this chunk's tail lanes belong to the next tile
+            pend_ref[:, :] = jnp.where(lane128 < end_off, vbuf_ref[slot], 0.0)
+
+        @pl.when(jnp.logical_not(is_held))
+        def _():
+            dma_out(c).start()
+
+    def wait_out(c):
+        """Wait chunk c's out-DMA (callers never pass the held chunk)."""
+        dma_out(c).wait()
 
     @pl.when(count > 0)
     def _():
-        start_super_in(0, 0)
+        for k in range(NBUF):
+            @pl.when(k < n_ch)
+            def _():
+                dma_in(k).start()
 
         def body(carry):
-            s, _ = carry
-            slot = jax.lax.rem(s, 2)
+            c, _ = carry
+            slot = jax.lax.rem(c, NBUF)
+            dma_in(c).wait()
 
-            @pl.when(s + 1 < n_sup)
+            # the grad write that used this vbuf slot must have landed
+            # (chunk c - NBUF is never the held tail chunk: it is < n_ch-1)
+            @pl.when(c >= NBUF)
             def _():
-                start_super_in(1 - slot, s + 1)
-
-            wait_super_in(slot, s)
-
-            # the grad writes that used this vbuf slot must have landed
-            @pl.when(s >= 2)
-            def _():
-                wait_super_out(slot, s - 2)
+                wait_out(c - NBUF)
 
             # two-sided lane mask (head/tail lanes are other tiles' slots)
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-            g = s * L + lane_row
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            g = c * CHUNK + lane_row
             lane_valid = (g >= head) & (g < end)
             buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
             alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
@@ -509,7 +478,12 @@ def _bwd_kernel(
             vbuf_ref[slot, 4:5, :] = 0.5 * s_dy2  # v_conic_c
             vbuf_ref[slot, 5:6, :] = v_op
             vbuf_ref[slot, 6 : 6 + D, :] = v_col
-            emit_super(slot, s)
+            emit_chunk(c)
+
+            # the input slot is free now: refill with chunk c + NBUF
+            @pl.when(c + NBUF < n_ch)
+            def _():
+                dma_in(c + NBUF).start()
 
             # update carries
             t_new = t_prev * jnp.min(
@@ -517,55 +491,61 @@ def _bwd_kernel(
             )
             t_ref[:] = t_new
             e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
-            return s + 1, jnp.max(t_new)
+            return c + 1, jnp.max(t_new)
 
         def cond(carry):
-            s, tmax = carry
-            return (s < n_sup) & (tmax > TRANSMITTANCE_THRESHOLD)
+            c, tmax = carry
+            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
 
         # early exit like the forward: once every pixel saturates, all
         # later slots have live == 0 and therefore exactly-zero gradients
         # (the replay analog of the CUDA last_ids cutoff)
         f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
 
-        # wait the possibly-inflight input prefetch for super f
-        @pl.when(f < n_sup)
+        # drain in-flight input prefetches (chunks [f, f+NBUF) ∩ [0, n_ch))
+        @pl.when(f < n_ch)
         def _():
-            wait_super_in(jax.lax.rem(f, 2), f)
-
-        # drain outstanding compute grad writes (supers f-2, f-1)
-        @pl.when(f >= 2)
-        def _():
-            wait_super_out(jax.lax.rem(f, 2), f - 2)
-
-        @pl.when(f >= 1)
-        def _():
-            wait_super_out(jax.lax.rem(f - 1, 2), f - 1)
-
-        # zero-fill the skipped tail so the reduction reads exact zeros
-        # (same per-chunk merge/hold protocol, with zero data)
-        @pl.when(f < n_sup)
-        def _():
-            vbuf_ref[0] = jnp.zeros_like(vbuf_ref[0])
-            vbuf_ref[1] = jnp.zeros_like(vbuf_ref[1])
-
-            def zbody(s, _):
-                slot = jax.lax.rem(s, 2)
-
-                @pl.when(s - 2 >= f)
+            def drain_in(c, _):
+                @pl.when(c < n_ch)
                 def _():
-                    wait_super_out(slot, s - 2)
-
-                emit_super(slot, s)
+                    dma_in(c).wait()
                 return ()
 
-            jax.lax.fori_loop(f, n_sup, zbody, ())
+            jax.lax.fori_loop(f, f + NBUF, drain_in, ())
 
-            @pl.when(n_sup - 2 >= f)
+        # zero-fill the skipped tail so the reduction reads exact zeros
+        # (same per-chunk merge/hold protocol, with zero data; f >= 1 here
+        # so the head-merge case never recurs)
+        def zbody(c, _):
+            slot = jax.lax.rem(c, NBUF)
+
+            @pl.when(c >= NBUF)
             def _():
-                wait_super_out(jax.lax.rem(n_sup, 2), n_sup - 2)
+                wait_out(c - NBUF)
 
-            wait_super_out(jax.lax.rem(n_sup - 1, 2), n_sup - 1)
+            vbuf_ref[slot] = jnp.zeros_like(vbuf_ref[slot])
+            emit_chunk(c)
+            return ()
+
+        jax.lax.fori_loop(f, n_ch, zbody, ())
+
+        # drain the last (up to NBUF) out-DMAs, skipping the held chunk
+        def drain_out(c, _):
+            @pl.when(
+                jnp.logical_and(
+                    c >= 0,
+                    jnp.logical_not(
+                        jnp.logical_and(c == n_ch - 1, tail_partial)
+                    ),
+                )
+            )
+            def _():
+                wait_out(c)
+            return ()
+
+        jax.lax.fori_loop(
+            jnp.maximum(n_ch - NBUF, 0), n_ch, drain_out, ()
+        )
 
     # Final grid step: flush the carried partial chunk (the live stream's
     # last chunk when its end is not 128-aligned).  Tail lanes are zero.
@@ -621,9 +601,9 @@ def _fwd_call(
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F, SUP * CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, F, CHUNK), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, SUP)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     kernel = functools.partial(
@@ -688,13 +668,13 @@ def _bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, F, SUP * CHUNK), jnp.float32),
-            pltpu.VMEM((2, F_out, SUP * CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, F, CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, F_out, CHUNK), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.VMEM((F_out, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, SUP)),
-            pltpu.SemaphoreType.DMA((2, SUP)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )

@@ -37,9 +37,108 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+import functools
+
 from ..ops.projection import fully_fused_projection
+from ..ops.rasterize import rasterize_to_pixels_packed
 from ..ops.rasterize_pallas import DEFAULT_CHUNK, TILE
 from ..ops.sh import spherical_harmonics
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _ragged_exchange(payload, cnt, axis, recv_cap, send_cap):
+    """Count-routed splat exchange: `payload[l]` rows go to their
+    destination shard, packed contiguously per sender.
+
+    `payload` is [L, R] (rows = splats in send order, grouped by
+    destination), `cnt` is the all-gathered [W, W] count matrix
+    (cnt[s, d] = rows sender s ships to destination d).  Returns the
+    [recv_cap, R] receive buffer (rows grouped by sender) plus the valid
+    row count.  The TPU analog of the reference's packed distributed
+    scatter (DistributedCollectives.cpp:343-409: bincounts -> exchanged
+    counts -> batched all-to-all); here one `lax.ragged_all_to_all` whose
+    backward is the transposed exchange.
+    """
+    out, _ = _ragged_exchange_fwd(payload, cnt, axis, recv_cap, send_cap)
+    return out
+
+
+def _ragged_a2a(operand, out, input_offsets, send_sizes, output_offsets,
+                recv_sizes, axis):
+    """lax.ragged_all_to_all with an exact jnp emulation on CPU (the
+    XLA:CPU thunk emitter lacks the op; the 8-device host mesh used by the
+    test suite and the driver dry-run goes through the emulation)."""
+    if jax.default_backend() != "cpu":
+        return jax.lax.ragged_all_to_all(
+            operand, out, input_offsets, send_sizes, output_offsets,
+            recv_sizes, axis_name=axis,
+        )
+    data = jax.lax.all_gather(operand, axis)  # [W, L, R]
+    io = jax.lax.all_gather(input_offsets, axis)  # [W, W]
+    ss = jax.lax.all_gather(send_sizes, axis)
+    oo = jax.lax.all_gather(output_offsets, axis)
+    me = jax.lax.axis_index(axis)
+    Wn = data.shape[0]
+    L = data.shape[1]
+    rows = jnp.arange(out.shape[0], dtype=jnp.int32)
+    for s_idx in range(Wn):
+        size = ss[s_idx, me]
+        src0 = io[s_idx, me]
+        dst0 = oo[s_idx, me]
+        take = (rows >= dst0) & (rows < dst0 + size)
+        src = jnp.clip(rows - dst0 + src0, 0, L - 1)
+        out = jnp.where(take[:, None], data[s_idx][src], out)
+    return out
+
+
+def _clamped_routes(cnt, recv_cap):
+    """Per-(sender, dest) admitted row counts, clipped so every receive
+    buffer fits recv_cap.  Computed identically on every shard from the
+    all-gathered count matrix, so senders and receivers always agree."""
+    col_cum = jnp.cumsum(cnt, axis=0) - cnt  # rows before sender s at dest d
+    allowed = jnp.clip(recv_cap - col_cum, 0, cnt)
+    return allowed, jnp.minimum(col_cum, recv_cap)
+
+
+def _ragged_exchange_fwd(payload, cnt, axis, recv_cap, send_cap):
+    me = jax.lax.axis_index(axis)
+    R = payload.shape[1]
+    allowed, col_cum = _clamped_routes(cnt, recv_cap)
+    send_sizes = allowed[me]  # [W] rows I send to each dest
+    full_sizes = cnt[me]
+    input_offsets = jnp.cumsum(full_sizes) - full_sizes  # my send layout
+    recv_sizes = allowed[:, me]  # [W] rows I receive from each sender
+    output_offsets = col_cum[me]  # where my block starts at each dest
+    out = jnp.zeros((recv_cap, R), payload.dtype)
+    out = _ragged_a2a(
+        payload, out, input_offsets, send_sizes, output_offsets, recv_sizes,
+        axis,
+    )
+    return (out, jnp.sum(recv_sizes)), (cnt,)
+
+
+def _ragged_exchange_bwd(axis, recv_cap, send_cap, res, cts):
+    (cnt,) = res
+    g_out, _ = cts
+    me = jax.lax.axis_index(axis)
+    allowed, col_cum = _clamped_routes(cnt, recv_cap)
+    # reverse exchange: my received blocks go back to their senders at the
+    # positions they were sent from (rows dropped by the clamp get zero
+    # gradients — they never contributed forward)
+    input_offsets = col_cum[:, me]  # my recv layout (by sender)
+    send_sizes = allowed[:, me]  # block from sender s returns to s
+    full_cum = jnp.cumsum(cnt, axis=1) - cnt
+    output_offsets = full_cum[:, me]  # where it lands in s's send buffer
+    recv_sizes = allowed[me]  # I get my (admitted) sends back
+    g_payload = jnp.zeros((send_cap, g_out.shape[1]), g_out.dtype)
+    g_payload = _ragged_a2a(
+        g_out, g_payload, input_offsets, send_sizes, output_offsets,
+        recv_sizes, axis,
+    )
+    return g_payload, jnp.zeros_like(cnt)
+
+
+_ragged_exchange.defvjp(_ragged_exchange_fwd, _ragged_exchange_bwd)
 from ..rendering import (
     _campos_from_viewmats,
     _round_up,
@@ -76,6 +175,8 @@ def rasterization_sharded(
     isect_capacity: Optional[int] = None,
     means2d_offset: Optional[jax.Array] = None,  # [C, N, 2] grad carrier
     absgrad: bool = False,
+    packed: bool = False,  # count-routed (ragged) splat exchange
+    packed_capacity: Optional[int] = None,  # receive-buffer rows per shard
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Collaboratively render C cameras from mesh-sharded Gaussians.
 
@@ -126,6 +227,10 @@ def rasterization_sharded(
 
     th = -(-height // tile_size)
     tw = -(-width // tile_size)
+    recv_cap = (
+        packed_capacity if packed_capacity is not None
+        else (C // W_mesh) * N
+    )
 
     use_sh = sh_degree is not None
     offset = (
@@ -182,6 +287,66 @@ def rasterization_sharded(
         # all cameras) — exactly the projection layout, no gather needed;
         # its cotangent lands shard-local, which is what strategies consume
         means2d = means2d + off_l
+
+        if packed:
+            # Seam B (packed): per-destination visibility compaction + a
+            # count-routed ragged exchange — traffic scales with the
+            # visible splats, not cameras x gaussians (the analog of
+            # DistributedCollectives.cpp:343-409).
+            alive = (radii > 0).all(-1)  # [I, n_l]
+            dest = (
+                jnp.arange(I, dtype=jnp.int32)[:, None] // c_l
+            )  # [I, 1] destination shard per camera
+            dest = jnp.broadcast_to(dest, (I, n_l))
+            key = jnp.where(alive, dest, W_mesh).reshape(-1)
+            L0 = I * n_l
+            f32 = lambda v: v.astype(jnp.float32)
+            cam_local = jnp.broadcast_to(
+                (jnp.arange(I, dtype=jnp.int32) % c_l)[:, None], (I, n_l)
+            )
+            rows = [
+                means2d[..., 0].reshape(-1), means2d[..., 1].reshape(-1),
+                conics[..., 0].reshape(-1), conics[..., 1].reshape(-1),
+                conics[..., 2].reshape(-1), op_b.reshape(-1),
+                depths.reshape(-1),
+                f32(radii[..., 0]).reshape(-1), f32(radii[..., 1]).reshape(-1),
+                f32(cam_local).reshape(-1),
+            ] + [feats[..., i].reshape(-1) for i in range(D_out)]
+            iota_l = jnp.arange(L0, dtype=jnp.int32)
+            packed_rows = jax.lax.sort(
+                (key, iota_l) + tuple(rows), num_keys=2, is_stable=False
+            )[2:]
+            cnt_me = jnp.sum(
+                alive.reshape(W_mesh, c_l * n_l).astype(jnp.int32), axis=1
+            )
+            cnt = jax.lax.all_gather(cnt_me, axis)  # [W, W]
+            payload = jnp.stack(packed_rows, axis=1)  # [L0, R]
+            recv, n_recv = _ragged_exchange(
+                payload, cnt, axis, recv_cap, L0
+            )
+            m2_e = recv[:, 0:2]
+            cn_e = recv[:, 2:5]
+            op_e = recv[:, 5]
+            dep_e = recv[:, 6]
+            rad_e = recv[:, 7:9].astype(jnp.int32)
+            cam_e = recv[:, 9].astype(jnp.int32)
+            feats_e = recv[:, 10 : 10 + D_out]
+
+            bg_le = bg_l
+            if bg_le.shape[-1] < D_out:
+                bg_le = jnp.pad(
+                    bg_le, ((0, 0), (0, D_out - bg_le.shape[-1]))
+                )
+            render, alphas, aux = rasterize_to_pixels_packed(
+                m2_e, cn_e, feats_e, op_e, rad_e, dep_e, cam_e,
+                n_recv.astype(jnp.int32), c_l, width, height,
+                isect_capacity, backgrounds=bg_le,
+            )
+            ex_overflow = jnp.sum(cnt[:, jax.lax.axis_index(axis)]) > recv_cap
+            return (
+                render, alphas, aux["n_isects"][None],
+                (aux["isect_overflow"] | ex_overflow)[None],
+            )
 
         # Seam B: dense all-to-all of the projected splats — split the
         # camera axis back to its owners, concatenate the gaussian axis.

@@ -77,15 +77,18 @@ def test_garden_forward_parity(garden):
     assert not bool(meta["isect_overflow"])
     assert int(meta["n_isects"]) > 10_000  # a real scene, not a degenerate one
     # deep tiles (~2k gaussians) accumulate f32 compositing error in
-    # different association orders (chunked scan vs running product):
-    # tolerate ~1e-3 absolute, like the reference's boundary-band asserts
-    np.testing.assert_allclose(
-        np.asarray(out_p), np.asarray(out_o), atol=1e-3, rtol=1e-3
-    )
-    np.testing.assert_allclose(
-        np.asarray(a_p[..., 0]), np.asarray(a_o[..., 0]),
-        atol=1e-3, rtol=1e-3,
-    )
+    # different association orders (chunked scan vs running product), and
+    # slots at the T=1e-4 saturation cutoff can flip `contribute`:
+    # boundary-band tolerance like the reference's _helper.py:105-342 —
+    # everything within 1e-3, except a <0.1% band allowed up to 1e-2.
+    def band_close(a, b, name):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        frac = float((diff > 1e-3).mean())
+        assert frac < 1e-3, (name, frac)
+        assert float(diff.max()) < 1e-2, (name, float(diff.max()))
+
+    band_close(out_p, out_o, "colors")
+    band_close(a_p[..., 0], a_o[..., 0], "alphas")
 
 
 def test_garden_pixel_grad_parity(garden):

@@ -137,3 +137,44 @@ def test_sharded_screen_grads(mesh, scene):
     np.testing.assert_allclose(
         np.asarray(g_out), np.asarray(g_ref), atol=5e-4 * scale
     )
+
+
+def test_packed_exchange_matches_dense(mesh, scene):
+    """The count-routed ragged splat exchange must match the dense
+    exchange exactly — forward and gradients (reference packed path,
+    DistributedCollectives.cpp:343-409)."""
+    s = scene
+    ref_c, ref_a, _ = rasterization_sharded(
+        s["means"], s["quats"], s["scales"], s["opacities"], s["colors"],
+        s["viewmats"], s["Ks"], W, H, mesh=mesh,
+    )
+    out_c, out_a, meta = rasterization_sharded(
+        s["means"], s["quats"], s["scales"], s["opacities"], s["colors"],
+        s["viewmats"], s["Ks"], W, H, mesh=mesh,
+        packed=True, packed_capacity=4096,
+    )
+    assert not bool(np.asarray(meta["isect_overflow"]).any())
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=3e-5)
+
+    tgt = jnp.asarray(
+        np.random.default_rng(5).random((8, H, W, 3)).astype(np.float32)
+    )
+
+    def loss(packed):
+        def f(means, colors):
+            c, _, _ = rasterization_sharded(
+                means, s["quats"], s["scales"], s["opacities"], colors,
+                s["viewmats"], s["Ks"], W, H, mesh=mesh,
+                packed=packed, packed_capacity=4096,
+            )
+            return jnp.mean((c - tgt) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(False), argnums=(0, 1))(s["means"], s["colors"])
+    g_out = jax.grad(loss(True), argnums=(0, 1))(s["means"], s["colors"])
+    for gr, go in zip(g_ref, g_out):
+        scale = max(float(jnp.abs(gr).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(go), np.asarray(gr), atol=5e-4 * scale
+        )

@@ -141,3 +141,74 @@ def test_tile_untile_roundtrip():
     assert tiled.shape == (2 * 3 * 3, 5, 256)
     back = untile_image(tiled, 2, 3, 3, 35, 40)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+
+def test_packed_entry_matches_dense(scene):
+    """rasterize_to_pixels_packed on a hand-packed (image, gaussian) list
+    must match the dense path (reference packed=True semantics,
+    rendering.py:348-362)."""
+    from gsplat_tpu.ops.rasterize import rasterize_to_pixels_packed
+
+    s = scene
+    m2, cn, cl, op = s["args"]
+    I, N, D = cl.shape
+    radii, depths = s["radii"], s["depths"]
+    W, H = s["W"], s["H"]
+
+    dense_c, dense_a, _ = rasterize_to_pixels(
+        m2, cn, cl, op, W, H, radii, depths, isect_capacity=4096
+    )
+
+    # pack visible rows first (numpy compaction)
+    alive = np.asarray((radii > 0).all(-1)).reshape(-1)
+    order = np.argsort(~alive, kind="stable")
+    n_live = int(alive.sum())
+    E = I * N
+    im_ids = (np.arange(E) // N)[order].astype(np.int32)
+    pk = lambda x, d: jnp.asarray(np.asarray(x).reshape(E, d)[order])
+
+    def render_packed(m2p, cnp, clp, opp):
+        c, a, _ = rasterize_to_pixels_packed(
+            m2p, cnp, clp, opp,
+            pk(radii, 2).astype(jnp.int32), pk(depths, 1)[:, 0],
+            jnp.asarray(im_ids), jnp.asarray(n_live, jnp.int32),
+            I, W, H, isect_capacity=4096,
+        )
+        return c, a
+
+    args_p = (pk(m2, 2), pk(cn, 3), pk(cl, D), pk(op, 1)[:, 0])
+    pc, pa = render_packed(*args_p)
+    np.testing.assert_allclose(
+        np.asarray(pc), np.asarray(dense_c), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pa), np.asarray(dense_a), atol=1e-5, rtol=1e-5
+    )
+
+    # gradients return in the packed layout and match the dense path's
+    # (re-packed) gradients
+    v = jnp.asarray(
+        np.random.default_rng(1).standard_normal(dense_c.shape).astype(
+            np.float32
+        )
+    )
+
+    def loss_packed(*a):
+        c, _ = render_packed(*a)
+        return jnp.sum(c * v)
+
+    def loss_dense(m2d, cnd, cld, opd):
+        c, _, _ = rasterize_to_pixels(
+            m2d, cnd, cld, opd, W, H, radii, depths, isect_capacity=4096
+        )
+        return jnp.sum(c * v)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(*args_p)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(m2, cn, cl, op)
+    for a, b, d in zip(gp, gd, (2, 3, D, 1)):
+        b_packed = np.asarray(b).reshape(E, d)[order]
+        if d == 1:
+            b_packed = b_packed[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(a), b_packed, atol=1e-5, rtol=1e-4
+        )

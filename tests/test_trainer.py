@@ -143,3 +143,87 @@ def test_dynamic_surgical_trainer_smoke():
         )
     finally:
         sys.argv = argv
+
+
+def test_trainer_ckpt_resume(tiny_npz, tmp_path, monkeypatch):
+    """--ckpt round-trip: resume restores params, optimizer and step.
+
+    Parity: reference Config.ckpt (simple_trainer.py:82) + ckpt dict
+    (:1040-1072), extended with optimizer/strategy state.
+    """
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    base = dict(
+        strategy="mcmc", data="npz", max_steps=4, batch_size=1,
+        sh_degree=1, sh_degree_interval=2, isect_capacity=1 << 14,
+        cap_max=512, capacity=512, refine_every=100,
+        eval_every=100, save_every=4,
+    )
+    cfg = Config(result_dir=str(tmp_path / "a"), **base)
+    r1 = Runner(cfg)
+    r1.train()
+    ckpt = str(tmp_path / "a" / "ckpt_3.npz")
+    assert os.path.exists(ckpt)
+
+    cfg2 = Config(result_dir=str(tmp_path / "b"), ckpt=ckpt, **base)
+    r2 = Runner(cfg2)
+    assert r2.start_step == 4
+    np.testing.assert_array_equal(
+        np.asarray(r2.params["means"]), np.asarray(r1.params["means"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r2.opt_state.mu["means"]),
+        np.asarray(r1.opt_state.mu["means"]),
+    )
+    assert int(r2.opt_state.count) == int(r1.opt_state.count)
+    # resumed training continues from start_step without error
+    cfg2b = Config(result_dir=str(tmp_path / "b"), ckpt=ckpt,
+                   **{**base, "max_steps": 6})
+    r3 = Runner(cfg2b)
+    params, alive = r3.train()
+    assert np.isfinite(np.asarray(params["means"])).all()
+
+
+def test_trainer_pose_opt_recovers(tiny_npz, tmp_path, monkeypatch):
+    """Pose optimization reduces the injected pose error.
+
+    Parity: reference pose_opt + pose_noise ablation
+    (simple_trainer.py:213-217, 527-535).
+    """
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    import jax.numpy as jnp
+    from simple_trainer import Config, Runner, _invert_se3
+    from gsplat_tpu.training import apply_pose_deltas
+
+    cfg = Config(
+        strategy="mcmc", data="npz", result_dir=str(tmp_path / "out"),
+        max_steps=40, batch_size=1, sh_degree=0, sh_degree_interval=1000,
+        isect_capacity=1 << 14, cap_max=256, capacity=256,
+        refine_every=1000, eval_every=1000, save_every=1000,
+        pose_opt=True, pose_opt_lr=5e-4, pose_opt_reg=0.0, pose_noise=5e-3,
+        means_lr=0.0, scales_lr=0.0, opacities_lr=0.0, quats_lr=0.0,
+        sh0_lr=0.0, shN_lr=0.0,  # only the poses move
+    )
+    runner = Runner(cfg)
+    perturb = runner.pose_perturb
+
+    # targets = renders of the trainer's own (frozen) splats at the CLEAN
+    # poses, so the loss optimum is exactly the perturbation inverse
+    clean_vm = jnp.asarray(runner.viewmats[runner.train_views])
+    ks = jnp.asarray(runner.Ks[runner.train_views])
+    tgt, _, _ = runner.render(runner.params, runner.alive, clean_vm, ks, 0)
+    tgt = jnp.clip(tgt, 0.0, 1.0)
+    runner._make_npz_targets = lambda: tgt
+
+    def pose_error(deltas):
+        # perturbed-then-corrected c2w vs the clean c2w
+        c2w = _invert_se3(jnp.asarray(runner.viewmats[runner.train_views]))
+        c2w_p = apply_pose_deltas(c2w, perturb)
+        c2w_c = apply_pose_deltas(c2w_p, deltas)
+        return float(jnp.abs(c2w_c - c2w).max())
+
+    err0 = pose_error(runner.pose_deltas)
+    runner.train()
+    err1 = pose_error(runner.pose_deltas)
+    assert err1 < err0 * 0.9, (err0, err1)
