@@ -90,6 +90,10 @@ class Config:
     pose_noise: float = 0.0  # perturb training poses (pose-opt testing)
     # resume from a checkpoint written by _save (reference Config.ckpt :82)
     ckpt: str = ""
+    # npz benchmark: train from every-k-th point against targets rendered
+    # from the FULL point cloud (a real sparse-to-dense reconstruction
+    # task — the environment ships no photographs)
+    npz_subsample: int = 1
     # optional LPIPS(VGG) weights npz for eval (see training/metrics.py)
     lpips_weights: str = ""
 
@@ -183,8 +187,10 @@ class Runner:
             self.height, self.width = int(data["height"]), int(data["width"])
             viewmats = data["viewmats"].astype(np.float32)
             Ks = data["Ks"].astype(np.float32)
-            points = data["means3d"].astype(np.float32)
-            rgbs = (data["colors"] / 255.0).astype(np.float32)
+            self._full_points = data["means3d"].astype(np.float32)
+            self._full_rgbs = (data["colors"] / 255.0).astype(np.float32)
+            points = self._full_points[:: max(cfg.npz_subsample, 1)]
+            rgbs = self._full_rgbs[:: max(cfg.npz_subsample, 1)]
             # overfit demo: no gt images exist, so render targets are held
             # out later; train views 0..C-2, eval view C-1
             self.train_views = list(range(len(viewmats) - 1))
@@ -361,9 +367,16 @@ class Runner:
 
         # training targets
         if cfg.data == "npz":
-            # overfit demo: targets are oracle renders of a denser random
-            # configuration — substitute for missing gt photos
-            targets = self._make_npz_targets()
+            # sparse-to-dense benchmark: targets are clean renders of the
+            # FULL point cloud at every camera; train on the first C-1
+            # views, hold out the last for eval (no photos ship here)
+            targets_all = self._make_npz_targets()
+            targets = targets_all[: len(self.train_views)]
+            self._heldout = (
+                targets_all[-1:],
+                jnp.asarray(self.viewmats[self.eval_views]),
+                jnp.asarray(self.Ks[self.eval_views]),
+            )
             viewmats_all = jnp.asarray(self.viewmats[self.train_views])
             Ks_all = jnp.asarray(self.Ks[self.train_views])
         else:
@@ -464,7 +477,11 @@ class Runner:
                 )
             if (step + 1) % cfg.eval_every == 0 or step == cfg.max_steps - 1:
                 self.params, self.alive = params, alive
-                self.eval(step, targets, viewmats_all, Ks_all)
+                if cfg.data == "npz":
+                    # held-out view: the honest generalization number
+                    self.eval(step, *self._heldout)
+                else:
+                    self.eval(step, targets, viewmats_all, Ks_all)
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
                 self.pose_deltas = pose_deltas
                 self._save(step, params, alive, opt_state, state)
@@ -477,17 +494,26 @@ class Runner:
         return params, alive
 
     def _make_npz_targets(self):
-        """Oracle render targets for the bundled-npz overfit demo."""
-        from gsplat_tpu.utils.data import load_test_data
+        """Benchmark targets: a clean render of the FULL point cloud.
 
-        means, quats, scales, opac, colors, viewmats, Ks, width, height = (
-            load_test_data()
-        )
+        Scales from knn distances, flat 0.9 opacity, point colors — a
+        plausible scene, not the randomized test fixture.  Training starts
+        from an every-k-th subsample (Config.npz_subsample), so it must
+        move/grow splats to recover the dense appearance.
+        """
+        pts = self._full_points
+        dist = knn_mean_dist(pts)
+        scales = np.clip(dist, 1e-4, None)[:, None].repeat(3, 1)
+        n = len(pts)
+        quats = np.zeros((n, 4), np.float32)
+        quats[:, 0] = 1.0
         c, _, _ = rasterization(
-            jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
-            jnp.asarray(opac), jnp.asarray(colors),
-            jnp.asarray(viewmats[self.train_views]),
-            jnp.asarray(Ks[self.train_views]),
+            jnp.asarray(pts), jnp.asarray(quats),
+            jnp.asarray(scales.astype(np.float32)),
+            jnp.full((n,), 0.9, jnp.float32),
+            jnp.asarray(self._full_rgbs),
+            jnp.asarray(self.viewmats),
+            jnp.asarray(self.Ks),
             self.width, self.height,
             isect_capacity=self.cfg.isect_capacity,
         )

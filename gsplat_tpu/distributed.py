@@ -48,11 +48,13 @@ def _maybe_init_distributed() -> None:
     PROCESS_ID) or OpenMPI env (the reference's multi-node bootstrap,
     distributed.py:330-352).
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    # NOTE: read the env FIRST — jax.process_count() initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    if coord is None and "OMPI_COMM_WORLD_SIZE" not in os.environ:
+        return  # single-process (or runtime-initialized) launch
     if coord is None and "OMPI_COMM_WORLD_SIZE" in os.environ:
         nproc = os.environ["OMPI_COMM_WORLD_SIZE"]
         pid = os.environ["OMPI_COMM_WORLD_RANK"]

@@ -236,11 +236,18 @@ def _sample_alive(
     alive: jax.Array,  # [cap]
     n_draws: int,
 ) -> jax.Array:
-    """Multinomial sample (with replacement) of alive slots by opacity."""
-    logits = jnp.where(alive, jnp.log(jnp.maximum(opacities, 1e-12)), -jnp.inf)
-    return jax.random.categorical(key, logits, shape=(n_draws,)).astype(
-        jnp.int32
-    )
+    """Multinomial sample (with replacement) of alive slots by opacity.
+
+    Inverse-CDF sampling: O(cap log cap) memory-light, unlike
+    jax.random.categorical which materializes an [n_draws, cap] Gumbel
+    matrix (90 GB at cap=150k when n_draws == cap).
+    """
+    w = jnp.where(alive, jnp.maximum(opacities, 1e-12), 0.0)
+    cum = jnp.cumsum(w)
+    total = cum[-1]
+    u = jax.random.uniform(key, (n_draws,)) * total
+    idx = jnp.searchsorted(cum, u, side="right").astype(jnp.int32)
+    return jnp.clip(idx, 0, w.shape[0] - 1)
 
 
 def relocate(
