@@ -65,6 +65,7 @@ def test_sharded_matches_single_device(mesh, scene):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_sharded_sh_and_depth(mesh, scene):
     s = scene
     ref_c, _, _ = rasterization(
@@ -79,6 +80,7 @@ def test_sharded_sh_and_depth(mesh, scene):
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_sharded_gradients_match(mesh, scene):
     s = scene
     tgt = jnp.asarray(
@@ -109,6 +111,7 @@ def test_sharded_gradients_match(mesh, scene):
         )
 
 
+@pytest.mark.slow
 def test_sharded_screen_grads(mesh, scene):
     """means2d_offset cotangent matches the single-device screen grads."""
     s = scene
@@ -139,6 +142,7 @@ def test_sharded_screen_grads(mesh, scene):
     )
 
 
+@pytest.mark.slow
 def test_packed_exchange_matches_dense(mesh, scene):
     """The count-routed ragged splat exchange must match the dense
     exchange exactly — forward and gradients (reference packed path,

@@ -78,6 +78,7 @@ def test_trainer_smoke(tiny_npz, tmp_path, strategy, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_trainer_2dgs_smoke(tiny_npz, tmp_path, monkeypatch):
     monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
     from simple_trainer_2dgs import Config as Config2D
@@ -145,6 +146,7 @@ def test_dynamic_surgical_trainer_smoke():
         sys.argv = argv
 
 
+@pytest.mark.slow
 def test_trainer_ckpt_resume(tiny_npz, tmp_path, monkeypatch):
     """--ckpt round-trip: resume restores params, optimizer and step.
 
