@@ -1,3 +1,10 @@
+from .bilateral_grid import (
+    color_affine_transform,
+    init_bilateral_grids,
+    slice_image as bilateral_slice_image,
+    slice_points as bilateral_slice_points,
+    total_variation_loss,
+)
 from .metrics import lpips, load_lpips_weights, psnr
 from .pose import (
     apply_appearance,
@@ -9,6 +16,11 @@ from .pose import (
 from .schedulers import exponential_lr, two_stage_lr
 
 __all__ = [
+    "init_bilateral_grids",
+    "bilateral_slice_image",
+    "bilateral_slice_points",
+    "color_affine_transform",
+    "total_variation_loss",
     "exponential_lr",
     "two_stage_lr",
     "psnr",
