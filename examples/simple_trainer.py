@@ -44,10 +44,13 @@ from gsplat_tpu.rendering import rasterization
 from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
 from gsplat_tpu.training import (
     apply_pose_deltas,
+    bilateral_slice_image,
     exponential_lr,
+    init_bilateral_grids,
     init_pose_deltas,
     load_lpips_weights,
     lpips,
+    total_variation_loss,
 )
 
 
@@ -88,6 +91,12 @@ class Config:
     pose_opt_lr: float = 1e-5
     pose_opt_reg: float = 1e-6
     pose_noise: float = 0.0  # perturb training poses (pose-opt testing)
+    # bilateral-grid color correction (reference simple_trainer.py:231-235
+    # post_processing="bilateral_grid" + lib_bilagrid.py): per-train-view
+    # 3D grids of 3x4 color affines, trained jointly with the splats
+    bilateral_grid: bool = False
+    bilateral_grid_shape: str = "16,16,8"  # grid X,Y,W
+    tv_reg: float = 10.0  # TV-loss weight on the grids (reference :982)
     # resume from a checkpoint written by _save (reference Config.ckpt :82)
     ckpt: str = ""
     # stop MCMC noise injection at this step (0 = never inject; -1 = always)
@@ -261,6 +270,14 @@ class Runner:
             self.pose_perturb = jnp.asarray(noise)
         else:
             self.pose_perturb = None
+        if cfg.bilateral_grid:
+            gx, gy, gw = (int(v) for v in cfg.bilateral_grid_shape.split(","))
+            self.bil_grids = init_bilateral_grids(n_train, gx, gy, gw)
+            self.bil_opt_state = adam_init({"bil": self.bil_grids})
+            # reference lr: 2e-3 * sqrt(batch), Adam eps 1e-15 (:594-597)
+            self.bil_lr = 2e-3 * math.sqrt(cfg.batch_size)
+        else:
+            self.bil_grids = None
         self.lpips_w = (
             load_lpips_weights(cfg.lpips_weights)
             if cfg.lpips_weights and os.path.exists(cfg.lpips_weights)
@@ -312,10 +329,10 @@ class Runner:
 
         @jax.jit
         def train_step(params, opt_state, alive, viewmats, Ks, pixels,
-                       pose_deltas, cam_ids):
+                       pose_deltas, cam_ids, bil_grids):
             offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
-            def loss_fn(p, offset, pose):
+            def loss_fn(p, offset, pose, bil):
                 vm = viewmats
                 if cfg.pose_opt:
                     # adjust camtoworlds by the per-camera deltas, then
@@ -327,9 +344,17 @@ class Runner:
                     p, alive, vm, Ks, sh_degree, offset=offset,
                     absgrad=absgrad,
                 )
+                if cfg.bilateral_grid:
+                    # per-view color affines on the raw renders (reference
+                    # simple_trainer.py:766-776)
+                    colors = jax.vmap(
+                        lambda g, im: bilateral_slice_image(g, im)[0]
+                    )(bil[cam_ids], colors)
                 colors = jnp.clip(colors, 0.0, 1.0)
                 loss = l1_loss(colors, pixels) * (1.0 - cfg.ssim_lambda)
                 loss += ssim_loss(colors, pixels) * cfg.ssim_lambda
+                if cfg.bilateral_grid and cfg.tv_reg > 0:
+                    loss += cfg.tv_reg * total_variation_loss(bil)
                 if cfg.opacity_reg > 0:
                     loss += cfg.opacity_reg * jnp.mean(
                         jnp.where(alive, jax.nn.sigmoid(p["opacities"]), 0.0)
@@ -343,11 +368,12 @@ class Runner:
                 return loss, (meta["radii"], meta["isect_overflow"])
 
             (loss, (radii, overflow)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
-            )(params, offset0, pose_deltas)
-            g_params, g_screen, g_pose = grads
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )(params, offset0, pose_deltas, bil_grids)
+            g_params, g_screen, g_pose, g_bil = grads
             visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-            return loss, g_params, g_screen, g_pose, radii, visibility, overflow
+            return (loss, g_params, g_screen, g_pose, g_bil, radii,
+                    visibility, overflow)
 
         return train_step
 
@@ -400,6 +426,10 @@ class Runner:
         params, opt_state, alive = self.params, self.opt_state, self.alive
         state = self.strategy_state
         pose_deltas = self.pose_deltas
+        bil_grids = (
+            self.bil_grids if cfg.bilateral_grid
+            else jnp.zeros((1,), jnp.float32)  # unused placeholder
+        )
         overflow_steps = 0
         if self.pose_perturb is not None:
             # corrupt the training poses (ground truth stays in eval)
@@ -416,9 +446,10 @@ class Runner:
             px = targets[idx]
             cam_ids = jnp.asarray(idx, jnp.int32)
 
-            (loss, g_params, g_screen, g_pose, radii, visibility,
+            (loss, g_params, g_screen, g_pose, g_bil, radii, visibility,
              overflow) = train_steps[sh_degree](
-                params, opt_state, alive, vm, ks, px, pose_deltas, cam_ids
+                params, opt_state, alive, vm, ks, px, pose_deltas, cam_ids,
+                bil_grids,
             )
 
             lr_scale = 0.01 ** (step / cfg.max_steps)
@@ -431,6 +462,12 @@ class Runner:
                     self.pose_opt_state, {"pose": cfg.pose_opt_lr},
                 )
                 pose_deltas = pd["pose"]
+            if cfg.bilateral_grid:
+                bg, self.bil_opt_state = adam_update(
+                    {"bil": bil_grids}, {"bil": g_bil},
+                    self.bil_opt_state, {"bil": self.bil_lr},
+                )
+                bil_grids = bg["bil"]
             if step % 100 == 0 and bool(overflow):
                 overflow_steps += 1
                 print(
@@ -480,21 +517,29 @@ class Runner:
                 )
             if (step + 1) % cfg.eval_every == 0 or step == cfg.max_steps - 1:
                 self.params, self.alive = params, alive
+                if cfg.bilateral_grid:
+                    self.bil_grids = bil_grids
                 if cfg.data == "npz":
                     # train-view PSNR is the benchmark metric (with only
                     # 2 training cameras, held-out generalization
                     # collapses by construction — reported separately)
                     self.eval(step, targets, viewmats_all, Ks_all,
-                              tag="train")
+                              tag="train",
+                              grids=self.bil_grids if cfg.bilateral_grid
+                              else None)
                     self.eval(step, *self._heldout, tag="heldout")
                 else:
-                    self.eval(step, targets, viewmats_all, Ks_all)
+                    self.eval(step, targets, viewmats_all, Ks_all,
+                              grids=self.bil_grids if cfg.bilateral_grid
+                              else None)
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
                 self.pose_deltas = pose_deltas
                 self._save(step, params, alive, opt_state, state)
 
         self.params, self.opt_state, self.alive = params, opt_state, alive
         self.pose_deltas = pose_deltas
+        if cfg.bilateral_grid:
+            self.bil_grids = bil_grids
         if overflow_steps:
             print(f"NOTE: {overflow_steps} steps hit isect-capacity overflow",
                   flush=True)
@@ -526,11 +571,17 @@ class Runner:
         )
         return jnp.clip(c, 0.0, 1.0)
 
-    def eval(self, step, targets, viewmats, Ks, tag="eval"):
+    def eval(self, step, targets, viewmats, Ks, tag="eval", grids=None):
         sh_degree = min(step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
         colors, _, _ = self.render(
             self.params, self.alive, viewmats, Ks, sh_degree
         )
+        if grids is not None:
+            # per-view trained color correction (train views only — held-out
+            # views have no grid; the reference evals those via color_correct)
+            colors = jax.vmap(
+                lambda g, im: bilateral_slice_image(g, im)[0]
+            )(grids, colors)
         colors = jnp.clip(colors, 0.0, 1.0)
         mse = jnp.mean((colors - targets) ** 2)
         psnr = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
@@ -563,6 +614,8 @@ class Runner:
             "pose_deltas": np.asarray(self.pose_deltas),
             "opt_count": np.asarray(opt_state.count),
         }
+        if self.bil_grids is not None:
+            flat["bil_grids"] = np.asarray(self.bil_grids)
         for k, v in params.items():
             flat[f"p_{k}"] = np.asarray(v)
             flat[f"mu_{k}"] = np.asarray(opt_state.mu[k])
@@ -588,6 +641,9 @@ class Runner:
         self.key = jnp.asarray(d["key"])
         self.pose_deltas = jnp.asarray(d["pose_deltas"])
         self.pose_opt_state = adam_init({"pose": self.pose_deltas})
+        if "bil_grids" in d.files:
+            self.bil_grids = jnp.asarray(d["bil_grids"])
+            self.bil_opt_state = adam_init({"bil": self.bil_grids})
         for k in list(self.strategy_state):
             if f"ss_{k}" in d.files:
                 v = d[f"ss_{k}"]

@@ -229,3 +229,53 @@ def test_trainer_pose_opt_recovers(tiny_npz, tmp_path, monkeypatch):
     runner.train()
     err1 = pose_error(runner.pose_deltas)
     assert err1 < err0 * 0.9, (err0, err1)
+
+
+def test_trainer_bilateral_grid_corrects_tint(tiny_npz, tmp_path, monkeypatch):
+    """Bilateral-grid color correction learns a per-view tint.
+
+    Parity: reference post_processing="bilateral_grid"
+    (simple_trainer.py:231-235, 571-577, 766-776 + lib_bilagrid.py).
+    Splats are frozen; targets are the trainer's own renders with a
+    per-view channel tint applied, so only the grids can close the gap.
+    """
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    import jax.numpy as jnp
+    import numpy as np
+    from simple_trainer import Config, Runner
+    from gsplat_tpu.training import bilateral_slice_image
+
+    cfg = Config(
+        strategy="mcmc", data="npz", result_dir=str(tmp_path / "out"),
+        max_steps=30, batch_size=1, sh_degree=0, sh_degree_interval=1000,
+        isect_capacity=1 << 14, cap_max=256, capacity=256,
+        refine_every=1000, eval_every=1000, save_every=1000,
+        bilateral_grid=True, bilateral_grid_shape="4,4,2", tv_reg=0.1,
+        means_lr=0.0, scales_lr=0.0, opacities_lr=0.0, quats_lr=0.0,
+        sh0_lr=0.0, shN_lr=0.0,  # only the grids move
+    )
+    runner = Runner(cfg)
+    assert runner.bil_grids is not None
+    grids0 = np.asarray(runner.bil_grids).copy()
+
+    vm = jnp.asarray(runner.viewmats[runner.train_views])
+    ks = jnp.asarray(runner.Ks[runner.train_views])
+    base, _, _ = runner.render(runner.params, runner.alive, vm, ks, 0)
+    base = jnp.clip(base, 0.0, 1.0)
+    tint = jnp.asarray([[0.7, 1.0, 1.2], [1.2, 0.8, 1.0]])[: base.shape[0]]
+    tgt = jnp.clip(base * tint[:, None, None, :], 0.0, 1.0)
+    runner._make_npz_targets = lambda: tgt
+
+    def err(grids):
+        out = jax.vmap(lambda g, im: bilateral_slice_image(g, im)[0])(
+            grids, base
+        )
+        return float(jnp.mean((jnp.clip(out, 0.0, 1.0) - tgt) ** 2))
+
+    import jax
+
+    e0 = err(jnp.asarray(grids0))
+    runner.train()
+    e1 = err(runner.bil_grids)
+    assert e1 < e0 * 0.7, (e0, e1)
+    assert not np.allclose(np.asarray(runner.bil_grids), grids0)
