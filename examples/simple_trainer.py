@@ -97,6 +97,11 @@ class Config:
     bilateral_grid: bool = False
     bilateral_grid_shape: str = "16,16,8"  # grid X,Y,W
     tv_reg: float = 10.0  # TV-loss weight on the grids (reference :982)
+    # fly-through rendering after training (reference simple_trainer.py:1303
+    # render_traj; :87 render_traj_path)
+    render_traj: bool = False
+    render_traj_path: str = "interp"  # raw | interp | ellipse | spiral
+    traj_frames: int = 60
     # resume from a checkpoint written by _save (reference Config.ckpt :82)
     ckpt: str = ""
     # stop MCMC noise injection at this step (0 = never inject; -1 = always)
@@ -233,6 +238,7 @@ class Runner:
             self.viewmats = w2c[self.trainset.indices].astype(np.float32)
             self.Ks = parser.Ks[self.trainset.indices].astype(np.float32)
 
+        self._points_np = np.asarray(points)  # for traj spiral bounds
         N0 = points.shape[0]
         if cfg.strategy == "mcmc":
             capacity = cfg.cap_max
@@ -543,6 +549,8 @@ class Runner:
         if overflow_steps:
             print(f"NOTE: {overflow_steps} steps hit isect-capacity overflow",
                   flush=True)
+        if cfg.render_traj:
+            self.render_traj(step=cfg.max_steps - 1)
         return params, alive
 
     def _make_npz_targets(self):
@@ -596,6 +604,79 @@ class Runner:
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
         return psnr, s
+
+    def render_traj(self, step=None):
+        """Render a fly-through of the trained scene to PNGs + mp4.
+
+        Parity: reference simple_trainer.py:1303-1350 (render_traj with
+        raw/interp/ellipse/spiral paths).  Spiral bounds come from point-
+        to-camera distance percentiles (the reference reads COLMAP's
+        per-image bounds; the npz fixture has none).
+        """
+        cfg = self.cfg
+        from datasets.traj import (
+            generate_ellipse_path_z,
+            generate_interpolated_path,
+            generate_spiral_path,
+        )
+
+        c2w = np.asarray(_invert_se3(jnp.asarray(self.viewmats)))[:, :3, :]
+        kind = cfg.render_traj_path
+        if kind == "raw":
+            path = c2w
+        elif kind == "interp":
+            per_seg = max(cfg.traj_frames // max(len(c2w) - 1, 1), 1)
+            path = generate_interpolated_path(c2w, per_seg)
+        elif kind == "ellipse":
+            height = float(c2w[:, 2, 3].mean())
+            path = generate_ellipse_path_z(
+                c2w, n_frames=cfg.traj_frames, height=height
+            )
+        elif kind == "spiral":
+            cams = c2w[:, :3, 3]
+            d = np.linalg.norm(
+                self._points_np[None, :, :] - cams[:, None, :], axis=-1
+            )
+            bounds = np.array([np.percentile(d, 0.5), np.percentile(d, 99.5)])
+            path = generate_spiral_path(
+                c2w, bounds=bounds, n_frames=cfg.traj_frames
+            )
+        else:
+            raise ValueError(f"unknown render_traj_path: {kind}")
+
+        bottom = np.tile(
+            np.array([[[0.0, 0, 0, 1.0]]], np.float32), (len(path), 1, 1)
+        )
+        c2w44 = np.concatenate([path.astype(np.float32), bottom], axis=1)
+        vm = _invert_se3(jnp.asarray(c2w44))
+        Ks = jnp.asarray(np.tile(self.Ks[:1], (len(path), 1, 1)))
+        sh_degree = (
+            min(step // cfg.sh_degree_interval, cfg.sh_degree)
+            if step is not None else cfg.sh_degree
+        )
+        outdir = os.path.join(cfg.result_dir, "traj")
+        os.makedirs(outdir, exist_ok=True)
+        frames = []
+        for i in range(len(path)):
+            colors, _, _ = self.render(
+                self.params, self.alive, vm[i : i + 1], Ks[i : i + 1],
+                sh_degree,
+            )
+            img = np.asarray(
+                jnp.clip(colors[0], 0.0, 1.0) * 255.0
+            ).astype(np.uint8)
+            frames.append(img)
+        import imageio
+
+        for i, img in enumerate(frames):
+            imageio.imwrite(os.path.join(outdir, f"{i:04d}.png"), img)
+        try:
+            imageio.mimwrite(
+                os.path.join(cfg.result_dir, "traj.mp4"), frames, fps=30
+            )
+        except Exception as e:  # no ffmpeg backend: PNGs still exist
+            print(f"traj video skipped ({e})", flush=True)
+        print(f"wrote {len(frames)} traj frames to {outdir}", flush=True)
 
     def _save(self, step, params, alive, opt_state=None, state=None):
         """Full-state checkpoint: params + optimizer + strategy + pose.

@@ -279,3 +279,26 @@ def test_trainer_bilateral_grid_corrects_tint(tiny_npz, tmp_path, monkeypatch):
     e1 = err(runner.bil_grids)
     assert e1 < e0 * 0.7, (e0, e1)
     assert not np.allclose(np.asarray(runner.bil_grids), grids0)
+
+
+def test_trainer_render_traj(tiny_npz, tmp_path, monkeypatch):
+    """Fly-through rendering writes frames (reference render_traj :1303)."""
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy="mcmc", data="npz", result_dir=str(tmp_path / "out"),
+        max_steps=2, batch_size=1, sh_degree=0, sh_degree_interval=1000,
+        isect_capacity=1 << 14, cap_max=256, capacity=256,
+        refine_every=1000, eval_every=1000, save_every=1000,
+        render_traj=True, render_traj_path="ellipse", traj_frames=4,
+    )
+    runner = Runner(cfg)
+    runner.train()
+    outdir = tmp_path / "out" / "traj"
+    pngs = sorted(outdir.glob("*.png"))
+    assert len(pngs) == 4
+    import imageio
+
+    img = imageio.imread(pngs[0])
+    assert img.shape == (48, 64, 3)
