@@ -104,6 +104,10 @@ class Config:
     traj_frames: int = 60
     # resume from a checkpoint written by _save (reference Config.ckpt :82)
     ckpt: str = ""
+    # live training viewer (reference simple_trainer.py Config.disable_viewer;
+    # here defaults to disabled so headless benchmark runs stay serverless)
+    disable_viewer: bool = True
+    viewer_port: int = 8080
     # stop MCMC noise injection at this step (0 = never inject; -1 = always)
     mcmc_noise_stop: int = -1
     # npz benchmark: train from every-k-th point against targets rendered
@@ -442,6 +446,41 @@ class Runner:
             c2w = _invert_se3(jnp.asarray(viewmats_all))
             c2w = apply_pose_deltas(c2w, self.pose_perturb)
             viewmats_all = _invert_se3(c2w)
+
+        # live training viewer (reference nerfview contract: the browser's
+        # pause button blocks the loop inside viewer.update)
+        viewer = None
+        if not cfg.disable_viewer:
+            from gsplat_tpu.viewer import GsplatViewer, RenderTabState
+            from gsplat_tpu.viewer.render import make_render_fn
+
+            snapshot = {"params": params, "alive": alive}
+
+            def get_scene():
+                p, al = snapshot["params"], snapshot["alive"]
+                return {
+                    "means": p["means"],
+                    "quats": p["quats"],
+                    "scales": jnp.exp(p["scales"]),
+                    "opacities": jnp.where(
+                        al, jax.nn.sigmoid(p["opacities"]), 0.0
+                    ),
+                    "colors": jnp.concatenate([p["sh0"], p["shN"]], axis=1),
+                    "sh_degree": cfg.sh_degree,
+                    "n_rendered": int(jnp.sum(al)),
+                }
+
+            viewer = GsplatViewer(
+                make_render_fn(get_scene, isect_capacity=cfg.isect_capacity),
+                output_dir=cfg.result_dir,
+                mode="training",
+                port=cfg.viewer_port,
+                state=RenderTabState(
+                    total_gs_count=int(params["means"].shape[0]),
+                    max_sh_degree=cfg.sh_degree,
+                ),
+            )
+        self.viewer = viewer
         t0 = time.time()
         for step in range(self.start_step, cfg.max_steps):
             sh_degree = sh_sched(step)
@@ -514,6 +553,11 @@ class Runner:
                         lr_means=self.lrs["means"] * lr_scale,
                     )
 
+            if viewer is not None:
+                if step % 10 == 0:
+                    snapshot["params"], snapshot["alive"] = params, alive
+                viewer.update(step, C * self.width * self.height)
+
             if step % 100 == 0:
                 n_alive = int(jnp.sum(alive))
                 print(
@@ -549,6 +593,9 @@ class Runner:
         if overflow_steps:
             print(f"NOTE: {overflow_steps} steps hit isect-capacity overflow",
                   flush=True)
+        if viewer is not None:
+            snapshot["params"], snapshot["alive"] = params, alive
+            viewer.complete()  # switch to rendering mode; server stays up
         if cfg.render_traj:
             self.render_traj(step=cfg.max_steps - 1)
         return params, alive

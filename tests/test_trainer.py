@@ -302,3 +302,55 @@ def test_trainer_render_traj(tiny_npz, tmp_path, monkeypatch):
 
     img = imageio.imread(pngs[0])
     assert img.shape == (48, 64, 3)
+
+
+@pytest.mark.slow
+def test_trainer_with_live_viewer(tiny_npz, tmp_path, monkeypatch):
+    """Training with the live viewer enabled: frames render mid-training
+    through the HTTP endpoint (reference: nerfview training mode)."""
+    import json
+    import threading
+    import urllib.request
+
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy="mcmc",
+        data="npz",
+        result_dir=str(tmp_path / "outv"),
+        max_steps=4,
+        batch_size=1,
+        sh_degree=0,
+        isect_capacity=1 << 14,
+        cap_max=512,
+        capacity=512,
+        refine_every=100,
+        eval_every=4,
+        save_every=4,
+        disable_viewer=False,
+        viewer_port=0,  # ephemeral
+    )
+    runner = Runner(cfg)
+    params, alive = runner.train()
+    # after train(), the viewer is in rendering mode and still serving
+    v = runner.viewer
+    assert v is not None and v.mode == "rendering"
+    c2w = np.eye(4)
+    c2w[2, 3] = -4.0
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{v.port}/render",
+        data=json.dumps(
+            {"c2w": c2w.ravel().tolist(), "width": 64, "height": 48}
+        ).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        data = r.read()
+    assert data[:2] == b"\xff\xd8"
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{v.port}/info", timeout=10
+    ) as r:
+        info = json.loads(r.read())
+    assert info["total_gs_count"] == 512
+    v.close()
