@@ -42,8 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CH = 1024  # output slots per grid step (large: amortizes DMA latency)
-W_A = 1280  # source window rows: >= CH + 1 runs + 128 alignment slack
+CH = 512  # output slots per grid step: the one-hot selection work per
+# slot scales with W_A ~= CH + 256, so smaller chunks cut VPU compare
+# work ~linearly until window-DMA / grid overhead dominates (measured on
+# the garden bench: 1024 -> 122 ms, 512 -> 87 ms, 256 -> 86 ms; 512 is
+# the knee)
+W_A = 768  # source window rows: >= CH + 1 runs + 128 alignment slack
 LANE = 128  # window base alignment (DMA minor-dim constraint)
 
 # Kernel-A table row indices (f32, field-major [F_tab, E_pad]):

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 from .rasterize_pallas import (
+    CHUNK,
     N_PIX,
     _cumprod_lane,
     _cumsum_lane,
@@ -314,19 +315,23 @@ def _bwd_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )  # (256, 128)
             wd = w * d
-            e_incl = e_ref[:] + _cumsum_lane(wd)
+            wd_cs = _cumsum_lane(wd)
+            e_incl = e_ref[:] + wd_cs
             inv_om = 1.0 / one_m
             v_alpha = d * t_entry - (dtot_col - e_incl) * inv_om \
                 - vt_term * inv_om
 
             # ---- distortion chain ----
             wm = w * m
+            wm_cs = _cumsum_lane(wm)
+            w_cs = _cumsum_lane(w)
             A_i = 1.0 - t_entry  # == prefix contributing weight
-            B_i = b_ref[:] + (_cumsum_lane(wm) - wm)
-            sw_suf = sw_tot - (aw_ref[:] + _cumsum_lane(w))  # strictly after i
-            sm_suf = sm_tot - (b_ref[:] + _cumsum_lane(wm))
+            B_i = b_ref[:] + (wm_cs - wm)
+            sw_suf = sw_tot - (aw_ref[:] + w_cs)  # strictly after i
+            sm_suf = sm_tot - (b_ref[:] + wm_cs)
             gw = v_dist * 2.0 * ((m * A_i - B_i) + sm_suf - m * sw_suf)
-            gww_incl = gww_ref[:] + _cumsum_lane(gw * w)
+            gww_cs = _cumsum_lane(gw * w)
+            gww_incl = gww_ref[:] + gww_cs
             v_alpha = v_alpha + gw * t_entry \
                 - (gww_tot - gww_incl) * inv_om
             v_alpha = jnp.where(live, v_alpha, 0.0)
@@ -410,10 +415,12 @@ def _bwd_kernel(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
             t_ref[:] = t_new
-            e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
-            b_ref[:] = b_ref[:] + jnp.sum(wm, axis=1, keepdims=True)
-            gww_ref[:] = gww_ref[:] + jnp.sum(gw * w, axis=1, keepdims=True)
-            aw_ref[:] = aw_ref[:] + jnp.sum(w, axis=1, keepdims=True)
+            # lane sums == last column of the inclusive cumsums (free)
+            last = slice(CHUNK - 1, CHUNK)
+            e_ref[:] = e_ref[:] + wd_cs[:, last]
+            b_ref[:] = b_ref[:] + wm_cs[:, last]
+            gww_ref[:] = gww_ref[:] + gww_cs[:, last]
+            aw_ref[:] = aw_ref[:] + w_cs[:, last]
             return c + 1, jnp.max(t_new)
 
         def cond(carry):

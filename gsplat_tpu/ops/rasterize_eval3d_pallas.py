@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 from .rasterize_pallas import (
+    CHUNK,
     N_PIX,
     _cumprod_lane,
     _cumsum_lane,
@@ -352,7 +353,8 @@ def _bwd_kernel(
                     d = d + v_n_cols[k] * (sgn * nk)
 
             wd = w * d
-            e_incl = e_ref[:] + _cumsum_lane(wd)
+            wd_cs = _cumsum_lane(wd)
+            e_incl = e_ref[:] + wd_cs
             inv_om = 1.0 / one_m
             v_alpha = (
                 d * t_entry
@@ -467,7 +469,7 @@ def _bwd_kernel(
                 jnp.where(contribute, cp_incl, 1.0), axis=1, keepdims=True
             )
             t_ref[:] = t_new
-            e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
+            e_ref[:] = e_ref[:] + wd_cs[:, CHUNK - 1 : CHUNK]
             return c + 1, jnp.max(t_new)
 
         def cond(carry):
