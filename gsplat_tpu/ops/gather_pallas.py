@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import sel_01_exact
+
 CH = 512  # output slots per grid step: the one-hot selection work per
 # slot scales with W_A ~= CH + 256, so smaller chunks cut VPU compare
 # work ~linearly until window-DMA / grid overhead dominates (measured on
@@ -80,19 +82,15 @@ def _recombine(hi: jax.Array, lo: jax.Array) -> jax.Array:
 def _sel(win_rows: jax.Array, onehot: jax.Array) -> jax.Array:
     """Select columns: (F, W) x (CH, W) -> (F, CH).
 
-    precision=HIGHEST is REQUIRED for bit-exactness: Mosaic's default f32
-    matmul is single-pass bf16 (8 significand bits — integers over 256 and
-    most f32 fields round!). HIGHEST decomposes each f32 into bf16 triples
-    whose one-hot products and single-term sums reconstruct it exactly
-    (verified on hardware across the f32 range incl. denormals).
+    Bit-exactness is REQUIRED (Mosaic's default f32 matmul is single-pass
+    bf16 — integers over 256 and most f32 fields round!).  The one-hot side
+    is exact in bf16, so the exact three-component data split (ops/mxu.py)
+    reaches full f32 reconstruction in 3 MXU passes — each output is a
+    single product term per component, summed exactly — at half the cost of
+    Precision.HIGHEST (which decomposes both sides: 6 passes).  Verified on
+    hardware across the f32 range in tests/test_mxu.py.
     """
-    return jax.lax.dot_general(
-        win_rows,
-        onehot,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return sel_01_exact(win_rows, onehot)
 
 
 def _int_divmod(a: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -578,7 +576,9 @@ RR_GID_HI = 7  # source gaussian row in [0, E)
 RR_GID_LO = 8
 RR_ROWS = 9
 
-# table_g row 0 is the depth; rows 1.. are the render fields.
+# table_g rows are the render fields (depth ordering is established by the
+# depth-compacted gaussian order upstream; the big sort's second key is the
+# emission position, so per-tile slot order = gaussian order = depth order).
 
 
 def _expand2_kernel(
@@ -645,9 +645,8 @@ def _expand2_kernel(
     live = s_col < nslots_ref[0]
     hot1 = ((s_col >= cum_ex) & (s_col < cum_in) & live).astype(jnp.float32)
 
-    jf = jax.lax.broadcasted_iota(jnp.int32, (1, W_A), 1).astype(jnp.float32)
     ones = jnp.ones((1, W_A), jnp.float32)
-    sel1 = _sel(jnp.concatenate([win1, jf, ones], axis=0), hot1)  # (11, CH)
+    sel1 = _sel(jnp.concatenate([win1, ones], axis=0), hot1)  # (10, CH)
     x0 = sel1[RR_X0 : RR_X0 + 1].astype(jnp.int32)
     ty = sel1[RR_TY : RR_TY + 1].astype(jnp.int32)
     im = sel1[RR_IM : RR_IM + 1].astype(jnp.int32)
@@ -655,16 +654,13 @@ def _expand2_kernel(
                      sel1[RR_GID_LO : RR_GID_LO + 1])  # (1, CH)
     cumex_sel = _recombine(sel1[RR_CUMEX_HI : RR_CUMEX_HI + 1],
                            sel1[RR_CUMEX_LO : RR_CUMEX_LO + 1])
-    j = sel1[-2:-1].astype(jnp.int32)
     found = sel1[-1:] > 0.0  # (1, CH)
-    flat = win1_ref[c] + j  # row-record index
 
     # within-run position -> covered tile column (single interval: no divmod)
     s_row = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
     tx = x0 + (s_row - cumex_sel)
     key = im * tiles_per_im + ty * tile_w + tx
     key = jnp.where(found, jnp.minimum(key, sentinel), sentinel)
-    flat = jnp.where(found, flat, 0)
 
     # second one-hot: fields by gaussian id (gid is monotone across slots;
     # consecutive row records differ by <= 1 gaussian, so a CH-slot chunk
@@ -682,16 +678,12 @@ def _expand2_kernel(
         (rel2_col == iota_w) & (rel2_col >= 0.0) & (found_col > 0.0)
     ).astype(jnp.float32)
     sel2 = _sel(win2, hot2)  # (F2, CH)
-    depth = jnp.where(found, sel2[0:1], jnp.inf)
-    fields = sel2[1 : 1 + n_render] * found.astype(jnp.float32)
+    fields = sel2[0:n_render] * found.astype(jnp.float32)
 
     fields_ref[0:n_render, :] = fields
     R = n_render
     fields_ref[R : R + 1, :] = (key >> 12).astype(jnp.float32)
     fields_ref[R + 1 : R + 2, :] = (key & 0xFFF).astype(jnp.float32)
-    fields_ref[R + 2 : R + 3, :] = (flat >> 12).astype(jnp.float32)
-    fields_ref[R + 3 : R + 4, :] = (flat & 0xFFF).astype(jnp.float32)
-    fields_ref[R + 4 : R + 5, :] = depth
 
 
 @functools.partial(
@@ -701,7 +693,7 @@ def _expand2_kernel(
 )
 def expand_emission2(
     table_rr: jax.Array,  # [9, R_pad] f32 row-record geometry
-    table_g: jax.Array,  # [F2, E_pad] f32: depth + render fields
+    table_g: jax.Array,  # [F2, E_pad] f32 render fields
     win1: jax.Array,  # [K] int32 (multiples of LANE)
     win2: jax.Array,  # [K] int32 (multiples of LANE)
     n_slots: jax.Array,  # [1] int32
@@ -715,11 +707,13 @@ def expand_emission2(
 ):
     """Two-window emission expansion for the tight-intersection path.
 
-    Returns (tile_key [K*CH] i32, depth [K*CH] f32, flat [K*CH] i32 row-
-    record ids, fields [r_pad, K*CH] f32).
+    Returns (tile_key [K*CH] i32, fields [r_pad, K*CH] f32).  Slot order is
+    emission order (gaussian-major): with depth-compacted gaussians the
+    per-tile sub-order after a stable-by-key sort is depth order, so no
+    depth or id rows ride the big sort.
     """
     F2 = table_g.shape[0]
-    assert r_pad >= n_render + 5
+    assert r_pad >= n_render + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(k,),
@@ -754,6 +748,4 @@ def expand_emission2(
     )(win1, win2, n_slots, table_rr, table_g)
     R = n_render
     key = _recombine(fields[R], fields[R + 1])
-    flat = _recombine(fields[R + 2], fields[R + 3])
-    depth = fields[R + 4]
-    return key, depth, flat, fields
+    return key, fields

@@ -12,12 +12,17 @@ a Pallas windowed one-hot MXU selection, see ops/gather_pallas.py):
        gsplat/cuda/csrc/IntersectTile.cu:96-207 — here in closed form per
        row, which is tighter).  Row-interval records are expanded by a
        boundary-scatter + cummax fill-forward (no searchsorted).
-    2. expand_emission2 (Pallas, two windows): per-slot (tile_key, depth,
-       row-record id) + render fields selected straight from the per-
-       gaussian table.  Culled gaussians emit one sentinel-keyed dummy so
-       source windows stay bounded.
-    3. jax.lax.sort by (tile_key, depth) with the fields as payload — the
-       TPU replacement for the CUB radix sort (IntersectTile.cu:1078).
+    2. expand_emission2 (Pallas, two windows): per-slot tile_key + render
+       fields selected straight from the per-gaussian table.  Culled
+       gaussians emit one sentinel-keyed dummy so source windows stay
+       bounded.
+    3. jax.lax.sort by (tile_key, emission position) with the fields as
+       payload — the TPU replacement for the CUB radix sort
+       (IntersectTile.cu:1078).  Gaussians are depth-compacted upfront
+       (the visibility compaction's second key), so the stable-by-tile
+       order IS front-to-back depth order: no depth or id rows ride the
+       sort, and the emission position doubles as the backward grouping
+       key.
     4. per-tile spans by searchsorted (T+1 queries); the Pallas forward
        kernel reads each tile's UNALIGNED span directly from the sorted
        buffer (floor-128 DMA base + two-sided lane mask) — no alignment
@@ -280,7 +285,7 @@ def make_tight_plan(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21, 22, 23)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22)
 )
 def _rasterize_core(
     m2f,  # [E, 2] (original order)
@@ -288,7 +293,6 @@ def _rasterize_core(
     clf,  # [E, D]
     opf,  # [E]
     m2abs,  # [E, 2] absgrad carrier (value unused; cotangent = abs grads)
-    depthf,  # [E] (non-diff sort key; stop_gradient'ed by callers)
     rank,  # [E] compacted destination per original row (a permutation)
     perm,  # [E] original row per compacted slot (inverse of rank)
     rr_cum_ex, rr_cum_in, rr_geo,  # [row_cap] x2, [4, row_cap] (x0,ty,im,gid)
@@ -305,7 +309,7 @@ def _rasterize_core(
     compact: bool = True,
 ):
     out, _ = _core_fwd(
-        m2f, cnf, clf, opf, m2abs, depthf, rank, perm,
+        m2f, cnf, clf, opf, m2abs, rank, perm,
         rr_cum_ex, rr_cum_in, rr_geo,
         win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
         tile_width, tile_height, n_images, image_size, absgrad, compact,
@@ -314,7 +318,7 @@ def _rasterize_core(
 
 
 def _core_fwd(
-    m2f, cnf, clf, opf, m2abs, depthf, rank, perm,
+    m2f, cnf, clf, opf, m2abs, rank, perm,
     rr_cum_ex, rr_cum_in, rr_geo,
     win1, win2, n_slots_arr, gh_bounds, dummy_i,
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
@@ -330,16 +334,18 @@ def _core_fwd(
     # Visibility compaction: permute fields into the plan's compacted order
     # (payload sort by rank — rank is a permutation, so the unstable 1-key
     # sort is deterministic).  TPU-fast: a payload sort at E elements beats
-    # any gather/scatter formulation by an order of magnitude.
+    # any gather/scatter formulation by an order of magnitude.  The
+    # compacted order is DEPTH order (the wrapper sorts by (culled, depth)),
+    # which makes emission order per tile the compositing order.
     if compact:
         ops_c = jax.lax.sort(
-            (rank, depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+            (rank, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
              cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
             num_keys=1, is_stable=False,
         )
         g_rows = list(ops_c[1:])
     else:  # inputs already arrive in the plan's (compacted) order
-        g_rows = [depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+        g_rows = [m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
                   cnf[:, 2], opf] + [clf[:, i] for i in range(D)]
 
     # Gaussians without coverage may carry NaN/inf fields (e.g. degenerate
@@ -350,7 +356,7 @@ def _core_fwd(
     ok = dummy_i == 0
     g_rows = [jnp.where(ok, r, 0.0) for r in g_rows]
     # DMA slices need 8-aligned sublane counts: pad row dims to multiples of 8
-    g_rows += [jnp.zeros_like(depthf)] * (_round_up(len(g_rows), 8) - len(g_rows))
+    g_rows += [jnp.zeros_like(opf)] * (_round_up(len(g_rows), 8) - len(g_rows))
     table_g = jnp.stack([_pad_tail(r, W_A, 0.0) for r in g_rows])
 
     # row-record geometry table, window-padded
@@ -373,21 +379,22 @@ def _core_fwd(
     ])
 
     R = 6 + D
-    r_pad = _round_up(R + 5, 8)
-    keys, depth_keys, flat_ids, fields = expand_emission2(
+    r_pad = _round_up(R + 2, 8)
+    keys, fields = expand_emission2(
         table_rr, table_g, win1, win2, n_slots_arr,
         n_render=R, r_pad=r_pad, tile_w=tile_width,
         tiles_per_im=tile_width * tile_height, sentinel=T, k=K,
     )
 
-    operands = (keys, depth_keys, flat_ids) + tuple(
-        fields[i] for i in range(R)
-    )
-    # unstable: (tile, depth) ties can only come from the same gaussian,
-    # which emits at most one slot per tile — ordering is already unique
+    # second key = emission position: a stable-by-tile sort.  Gaussians are
+    # depth-compacted, so per-tile slot order IS front-to-back depth order —
+    # no depth or row-record-id rows ride the sort (the emission position
+    # doubles as the backward reduction's grouping key).
+    pos_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    operands = (keys, pos_iota) + tuple(fields[i] for i in range(R))
     s = jax.lax.sort(operands, num_keys=2, is_stable=False)
-    keys_s, flat_s = s[0], s[2]
-    srows = list(s[3:])
+    keys_s, emis_s = s[0], s[1]
+    srows = list(s[2:])
     srows += [jnp.zeros_like(srows[0])] * (_round_up(R, 8) - R)  # 8-align
     sorted_rows = jnp.stack(srows)  # [R8, P]
 
@@ -410,7 +417,7 @@ def _core_fwd(
     )
 
     res = (
-        sorted_pad, flat_s, base, heads, counts, bounds[-1:], perm,
+        sorted_pad, emis_s, base, heads, counts, bounds[-1:], perm,
         rr_cum_in, gh_bounds, dummy_i, n_slots_arr, pix_out, t_final,
     )
     return (pix_out, t_final), res
@@ -421,7 +428,7 @@ def _core_bwd(
     absgrad, compact, res, cts,
 ):
     (
-        sorted_pad, flat_s, base, heads, counts, live_total, perm,
+        sorted_pad, emis_s, base, heads, counts, live_total, perm,
         rr_cum_in, gh_bounds, dummy_i, n_slots_arr, pix_out, t_final,
     ) = res
     v_pix, v_tfinal = cts
@@ -429,7 +436,7 @@ def _core_bwd(
     D = n_channels
     E = dummy_i.shape[0]
     row_cap = rr_cum_in.shape[0]
-    P = flat_s.shape[0]
+    P = emis_s.shape[0]
     T = n_images * tile_width * tile_height
 
     (v_slot,) = _bwd_call(
@@ -443,15 +450,15 @@ def _core_bwd(
     # written: mask their ids to the sentinel and their grads to zero.
     pos = jnp.arange(P, dtype=jnp.int32)
     in_live = pos < live_total[0]
-    ids = jnp.where(in_live, flat_s, ID_SENTINEL)
+    ids = jnp.where(in_live, emis_s, ID_SENTINEL)
     n_rows_grad = 6 + D
     grads = jnp.where(in_live[None, :], v_slot[:, :P], 0.0)
 
-    # Deterministic per-gaussian reduction: payload-sort by row-record id
-    # (row ids of one gaussian are contiguous), one cumsum, one boundary
-    # gather at gaussian granularity.
+    # Deterministic per-gaussian reduction: payload-sort by emission
+    # position (positions of one gaussian are contiguous in emission
+    # order), one cumsum, one boundary gather at gaussian granularity.
     operands = (ids,) + tuple(grads[i] for i in range(n_rows_grad))
-    # unstable: within-id order only permutes the f32 summation
+    # unstable: emission positions are unique
     srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
     v_rows = jnp.stack(srt[1:], axis=1)  # [P, 6+D]
     if absgrad:
@@ -497,10 +504,9 @@ def _core_bwd(
     )
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    zero_depth = jnp.zeros((E,), v_m2.dtype)
     K = cap_total // CH
     return (
-        v_m2, v_cn, v_cl, v_op, v_m2abs, zero_depth,
+        v_m2, v_cn, v_cl, v_op, v_m2abs,
         f0(jnp.zeros((E,), jnp.int32)),
         f0(jnp.zeros((E,), jnp.int32)),
         f0(jnp.zeros((row_cap,), jnp.int32)),
@@ -561,26 +567,33 @@ def rasterize_to_pixels(
         row_capacity = isect_capacity // 2
     row_cap = _round_up(max(row_capacity, 1), CH)
 
-    # visibility compaction prep (non-differentiable; one payload sort)
+    # visibility compaction prep (non-differentiable; one payload sort).
+    # Depth is the second key: the compacted order is global front-to-back,
+    # so emission order per tile is the compositing order and the big slot
+    # sort needs no depth key (tiles are per-image, so a single global
+    # depth order serves every image at once).
     m2_sg = jax.lax.stop_gradient(means2d).reshape(E, 2)
     cn_sg = jax.lax.stop_gradient(conics).reshape(E, 3)
     op_sg = jax.lax.stop_gradient(opacities).reshape(E)
+    dep_sg = jax.lax.stop_gradient(depths).reshape(E)
     rad = radii.reshape(E, 2)
     iota = jnp.arange(E, dtype=jnp.int32)
     alive = (rad > 0).all(axis=-1)
     n_live = jnp.sum(alive.astype(jnp.int32))
     ckey = (~alive).astype(jnp.int32)
+    dep_key = jnp.where(alive, dep_sg, jnp.inf)  # culled rows may carry NaN
     comp = jax.lax.sort(
-        (ckey, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0], rad[:, 1],
-         cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg, iota // N),
-        num_keys=2, is_stable=False,
+        (ckey, dep_key, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0],
+         rad[:, 1], cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg,
+         iota // N),
+        num_keys=3, is_stable=False,
     )
-    perm = comp[1]  # original row per compacted slot
-    m2_c = jnp.stack([comp[2], comp[3]], axis=1)
-    rad_c = jnp.stack([comp[4], comp[5]], axis=1)
-    cn_c = jnp.stack([comp[6], comp[7], comp[8]], axis=1)
-    op_c = comp[9]
-    im_c = comp[10]
+    perm = comp[2]  # original row per compacted slot
+    m2_c = jnp.stack([comp[3], comp[4]], axis=1)
+    rad_c = jnp.stack([comp[5], comp[6]], axis=1)
+    cn_c = jnp.stack([comp[7], comp[8], comp[9]], axis=1)
+    op_c = comp[10]
+    im_c = comp[11]
     rank = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)[1]
 
     plan = make_tight_plan(
@@ -602,7 +615,6 @@ def rasterize_to_pixels(
         colors.reshape(E, D),
         opacities.reshape(E),
         means2d_abs.reshape(E, 2),
-        jax.lax.stop_gradient(depths).reshape(E),
         rank, perm,
         plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
         plan.win1, plan.win2, plan.n_slots,
@@ -686,27 +698,51 @@ def rasterize_to_pixels_packed(
         row_capacity = isect_capacity // 2
     row_cap = _round_up(max(row_capacity, 1), CH)
 
-    # rows beyond n_live (or with zero radii) must not contribute: the plan
-    # treats them as dummies via the prefix mask; callers are expected to
-    # pack live rows first (e.g. the output of a ragged exchange)
+    # Depth compaction: rows beyond n_live (or with zero radii) must not
+    # contribute, and live rows must be globally front-to-back for the
+    # emission-order compositing (see rasterize_to_pixels).  One payload
+    # sort establishes both; gradients return in the CALLER's packed
+    # layout via the perm/rank pair.
+    m2_sg = jax.lax.stop_gradient(means2d)
+    cn_sg = jax.lax.stop_gradient(conics)
+    op_sg = jax.lax.stop_gradient(opacities)
+    dep_sg = jax.lax.stop_gradient(depths)
+    rad = radii
+    iota = jnp.arange(E, dtype=jnp.int32)
+    alive = (rad > 0).all(axis=-1) & (iota < n_live)
+    n_live_c = jnp.sum(alive.astype(jnp.int32))
+    ckey = (~alive).astype(jnp.int32)
+    dep_key = jnp.where(alive, dep_sg, jnp.inf)
+    comp = jax.lax.sort(
+        (ckey, dep_key, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0],
+         rad[:, 1], cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg,
+         image_ids),
+        num_keys=3, is_stable=False,
+    )
+    perm = comp[2]
+    m2_c = jnp.stack([comp[3], comp[4]], axis=1)
+    rad_c = jnp.stack([comp[5], comp[6]], axis=1)
+    cn_c = jnp.stack([comp[7], comp[8], comp[9]], axis=1)
+    op_c = comp[10]
+    im_c = comp[11]
+    rank = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)[1]
+
     plan = make_tight_plan(
-        means2d, radii, conics, opacities, image_ids, n_live, n_images,
+        m2_c, rad_c, cn_c, op_c, im_c, n_live_c, n_images,
         tile_size, tw, th, cap_total, row_cap,
     )
     if means2d_abs is None:
         means2d_abs = jnp.zeros((E, 2), means2d.dtype)
     rr_geo = jnp.stack([plan.rr_x0, plan.rr_ty, plan.rr_im, plan.rr_gid])
-    iota = jnp.arange(E, dtype=jnp.int32)
 
     pix_out, t_final = _rasterize_core(
         means2d, conics, colors, opacities, means2d_abs,
-        jax.lax.stop_gradient(depths),
-        iota, iota,  # identity permutation (input is already packed)
+        rank, perm,
         plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
         plan.win1, plan.win2, plan.n_slots,
         plan.gh_bounds, plan.dummy.astype(jnp.int32),
         cap_total, D, tw, th, n_images,
-        (image_width, image_height), absgrad, False,
+        (image_width, image_height), absgrad, True,
     )
 
     I = n_images

@@ -55,6 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mxu import dot_01_exact
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
 CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
@@ -85,18 +86,14 @@ def _cumsum_lane(x: jax.Array) -> jax.Array:
     """Inclusive cumulative sum along axis 1 as ONE MXU matmul.
 
     x @ T with T upper-triangular-ones: the scan becomes a
-    (256, 128) x (128, 128) matmul (f32 accumulate) instead of a
+    (3*256, 128) x (128, 128) bf16 matmul (f32 accumulate) instead of a
     log2(128)-step Hillis-Steele roll chain on the VPU — the kernels are
     VPU-bound, so moving the scans to the (otherwise idle) MXU is the
-    single biggest per-chunk win.
+    single biggest per-chunk win.  T is 0/1 (exact in bf16), so the exact
+    three-component data split (ops/mxu.py) reaches f32 accuracy in 3 MXU
+    passes — half the cost of Precision.HIGHEST.
     """
-    return jax.lax.dot_general(
-        x,
-        _tri_incl(x.shape[1]),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return dot_01_exact(x, _tri_incl(x.shape[1]))
 
 
 def _cumprod_lane(x: jax.Array) -> jax.Array:

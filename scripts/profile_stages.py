@@ -89,29 +89,30 @@ def main():
     rad = radii.reshape(E, 2)
     dep = depths.reshape(E)
 
-    # --- compaction sort ---
+    # --- compaction sort (depth-ordered) ---
     def compact(m2, cn, op, rad, dep):
         iota = jnp.arange(E, dtype=jnp.int32)
         alive = (rad > 0).all(axis=-1)
         n_live = jnp.sum(alive.astype(jnp.int32))
         ckey = (~alive).astype(jnp.int32)
+        dep_key = jnp.where(alive, dep, jnp.inf)
         comp = jax.lax.sort(
-            (ckey, iota, m2[:, 0], m2[:, 1], rad[:, 0], rad[:, 1],
+            (ckey, dep_key, iota, m2[:, 0], m2[:, 1], rad[:, 0], rad[:, 1],
              cn[:, 0], cn[:, 1], cn[:, 2], op, iota // N),
-            num_keys=2, is_stable=False,
+            num_keys=3, is_stable=False,
         )
-        rank = jax.lax.sort((comp[1], iota), num_keys=1, is_stable=False)[1]
+        rank = jax.lax.sort((comp[2], iota), num_keys=1, is_stable=False)[1]
         return comp, rank, n_live
 
     comp, rank, n_live = timeit(
         "compaction sorts (2x at E)", jax.jit(compact), m2, cn, op, rad, dep
     )
-    perm = comp[1]
-    m2_c = jnp.stack([comp[2], comp[3]], axis=1)
-    rad_c = jnp.stack([comp[4], comp[5]], axis=1)
-    cn_c = jnp.stack([comp[6], comp[7], comp[8]], axis=1)
-    op_c = comp[9]
-    im_c = comp[10]
+    perm = comp[2]
+    m2_c = jnp.stack([comp[3], comp[4]], axis=1)
+    rad_c = jnp.stack([comp[5], comp[6]], axis=1)
+    cn_c = jnp.stack([comp[7], comp[8], comp[9]], axis=1)
+    op_c = comp[10]
+    im_c = comp[11]
 
     # --- tight plan ---
     plan = timeit(
@@ -134,7 +135,7 @@ def main():
 
     def emit(m2f, cnf, clf, opf, depthf, rank):
         ops_c = jax.lax.sort(
-            (rank, depthf, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
+            (rank, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
              cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
             num_keys=1, is_stable=False,
         )
@@ -163,7 +164,7 @@ def main():
             *([jnp.zeros((row_cap + W_A,), jnp.float32)] * 7),
         ])
         R = 6 + D
-        r_pad = rz._round_up(R + 5, 8)
+        r_pad = rz._round_up(R + 2, 8)
         return expand_emission2(
             table_rr, table_g, plan.win1, plan.win2, plan.n_slots,
             n_render=R, r_pad=r_pad, tile_w=tw,
@@ -172,23 +173,24 @@ def main():
 
     clf = cl
     opf = op
-    keys, depth_keys, flat_ids, fields = timeit(
+    keys, fields = timeit(
         "compact-sort + emission tables + expand",
         jax.jit(emit), m2, cn, clf, opf, dep, rank,
     )
 
     R = 6 + D
-    operands = (keys, depth_keys, flat_ids) + tuple(fields[i] for i in range(R))
+    pos_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    operands = (keys, pos_iota) + tuple(fields[i] for i in range(R))
 
     # --- the big sort ---
     s = timeit(
-        "BIG SORT (12 ops, 2 keys, P)",
+        "BIG SORT (11 ops, 2 keys, P)",
         jax.jit(lambda *xs: jax.lax.sort(xs, num_keys=2, is_stable=False)),
         *operands,
     )
 
-    keys_s, flat_s = s[0], s[2]
-    srows = list(s[3:])
+    keys_s, flat_s = s[0], s[1]
+    srows = list(s[2:])
     srows += [jnp.zeros_like(srows[0])] * (rz._round_up(R, 8) - R)
     sorted_rows = jnp.stack(srows)
 
@@ -281,7 +283,7 @@ def main():
     # --- lax.sort scaling microbench ---
     print("\n--- lax.sort scaling at P =", P, "---", flush=True)
     key1 = keys
-    key2 = depth_keys
+    key2 = pos_iota.astype(jnp.float32)
     pay = [fields[i] for i in range(R)]
     for n_ops, n_keys in [(2, 1), (2, 2), (4, 2), (8, 2), (12, 2), (12, 1)]:
         ops = ([key1, key2] + pay)[:n_ops]
