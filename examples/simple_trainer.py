@@ -78,6 +78,10 @@ class Config:
     save_every: int = 7000
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
+    # global-norm gradient clip on the splat params (0 = off).  Stabilizes
+    # low-view-count regimes where per-step losses vary wildly (see
+    # TRAINING_NOTES.md); the reference trains 100+ views and doesn't clip.
+    grad_clip: float = 0.0
     seed: int = 42
     # lrs (reference simple_trainer.py:356-377)
     means_lr: float = 1.6e-4
@@ -110,6 +114,10 @@ class Config:
     viewer_port: int = 8080
     # stop MCMC noise injection at this step (0 = never inject; -1 = always)
     mcmc_noise_stop: int = -1
+    # deterministic batches: step over all train views in order instead of
+    # sampling with replacement (stabilizes tiny-view-count benchmarks
+    # where a random (0,0) draw doubles one view's gradient)
+    fixed_batch: bool = False
     # npz benchmark: train from every-k-th point against targets rendered
     # from the FULL point cloud (a real sparse-to-dense reconstruction
     # task — the environment ships no photographs)
@@ -389,9 +397,19 @@ class Runner:
 
     def make_update_step(self):
         lrs = dict(self.lrs)
+        clip = float(self.cfg.grad_clip)
 
         @jax.jit
         def update(params, opt_state, g_params, visibility, lr_scale_means):
+            if clip > 0.0:
+                gnorm = jnp.sqrt(
+                    sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(
+                        g_params))
+                )
+                scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+                g_params = jax.tree_util.tree_map(
+                    lambda g: g * scale, g_params
+                )
             lrs_t = dict(lrs)
             lrs_t["means"] = lrs["means"] * lr_scale_means
             return selective_adam_update(
@@ -486,7 +504,10 @@ class Runner:
             sh_degree = sh_sched(step)
             if sh_degree not in train_steps:
                 train_steps[sh_degree] = self.make_train_step(sh_degree)
-            idx = rng.integers(0, n_train, C)
+            if cfg.fixed_batch:
+                idx = (np.arange(C, dtype=np.int64) + step * C) % n_train
+            else:
+                idx = rng.integers(0, n_train, C)
             vm, ks = viewmats_all[idx], Ks_all[idx]
             px = targets[idx]
             cam_ids = jnp.asarray(idx, jnp.int32)

@@ -68,6 +68,17 @@ from .rasterize_pallas import DEFAULT_CHUNK, N_PIX, TILE, _bwd_call, _fwd_call
 
 ID_SENTINEL = 1 << 30  # sorts after every real row-record id
 
+# Lane width of the fwd/bwd kernels' DMA chunks.  Any multiple of 128 is
+# legal (the hard TPU constraint is minor-dim % 128 == 0); wider chunks
+# amortize per-iteration overhead (DMA issue/wait, loop control, scan-matrix
+# pipeline bubbles) over more slots at the cost of a coarser early-exit and
+# more boundary waste.  Tuned on the garden 4k bench; override to re-tune:
+# GSPLAT_TPU_RASTER_CHUNK=128|256|512.
+import os as _os
+
+RASTER_CHUNK = int(_os.environ.get("GSPLAT_TPU_RASTER_CHUNK", "256"))
+assert RASTER_CHUNK % DEFAULT_CHUNK == 0, RASTER_CHUNK
+
 
 def tile_image(img: jax.Array, tile_size: int = TILE) -> jax.Array:
     """[I, H, W, D] -> [I*th*tw, D, ts*ts] (H, W padded up to tile multiples)."""
@@ -404,16 +415,16 @@ def _core_fwd(
     ).astype(jnp.int32)
     starts = bounds[:-1]
     counts = bounds[1:] - starts
-    base = starts // DEFAULT_CHUNK
-    heads = starts - base * DEFAULT_CHUNK
+    base = starts // RASTER_CHUNK
+    heads = starts - base * RASTER_CHUNK
 
-    sorted_pad = jnp.pad(sorted_rows, ((0, 0), (0, 2 * DEFAULT_CHUNK)))
+    sorted_pad = jnp.pad(sorted_rows, ((0, 0), (0, 2 * RASTER_CHUNK)))
 
     pix_out, t_final = _fwd_call(
         sorted_pad, base, heads, counts,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T,
+        n_tiles=T, chunk=RASTER_CHUNK,
     )
 
     res = (
@@ -443,7 +454,7 @@ def _core_bwd(
         sorted_pad, base, heads, counts, v_pix, v_tfinal, pix_out, t_final,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T,
+        n_tiles=T, chunk=RASTER_CHUNK,
     )  # [6+D, P_pad] per-slot grads at sorted positions
 
     # Slots beyond the live stream (sentinel keys / dummies) were never

@@ -162,8 +162,8 @@ def _chunk_alphas(buf, px, py):
 
 def _fwd_kernel(
     # scalar prefetch
-    base_ref,  # [T] int32: tile start // 128 (chunk units)
-    head_ref,  # [T] int32: tile start % 128
+    base_ref,  # [T] int32: tile start // chunk (chunk units)
+    head_ref,  # [T] int32: tile start % chunk
     count_ref,  # [T] int32: tile span length in slots
     # inputs
     isect_hbm,  # [F, P_pad] f32 in HBM, field-major sorted layout
@@ -171,7 +171,7 @@ def _fwd_kernel(
     color_ref,  # (1, D, 256)
     tfinal_ref,  # (1, 1, 256)
     # scratch
-    buf_ref,  # (NBUF, F, 128) VMEM
+    buf_ref,  # (NBUF, F, chunk) VMEM
     t_ref,  # (256, 1) VMEM running transmittance
     sem,  # DMA semaphores (NBUF,)
     *,
@@ -180,12 +180,13 @@ def _fwd_kernel(
     tiles_per_image: int,
     width: int,
     height: int,
+    chunk: int = CHUNK,
 ):
     t = pl.program_id(0)
     base = base_ref[t]
     head = head_ref[t]
     count = count_ref[t]
-    n_ch = (head + count + CHUNK - 1) // CHUNK
+    n_ch = (head + count + chunk - 1) // chunk
 
     px, py, _, _ = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)  # centers are at +0.5
@@ -193,10 +194,10 @@ def _fwd_kernel(
     color_ref[:] = jnp.zeros_like(color_ref)
 
     def dma(c):
-        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        off = pl.multiple_of((base + c) * chunk, chunk)
         slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
-            isect_hbm.at[:, pl.ds(off, CHUNK)],
+            isect_hbm.at[:, pl.ds(off, chunk)],
             buf_ref.at[slot],
             sem.at[slot],
         )
@@ -217,8 +218,8 @@ def _fwd_kernel(
             # head lanes belong to the previous tile, tail lanes to the
             # next; both may carry arbitrary data (0 * NaN would poison
             # the matmuls): zero them before any use
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            g = c * CHUNK + lane_row
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            g = c * chunk + lane_row
             valid_row = (g >= head) & (g < head + count)
             buf = jnp.where(valid_row, buf_ref[slot], 0.0)
 
@@ -310,6 +311,7 @@ def _bwd_kernel(
     tiles_per_image: int,
     width: int,
     height: int,
+    chunk: int = CHUNK,
 ):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -318,10 +320,10 @@ def _bwd_kernel(
     count = count_ref[t]
     D = n_channels
     F_out = -(-(6 + D) // 8) * 8  # 8-aligned sublane count for DMA slices
-    n_ch = (head + count + CHUNK - 1) // CHUNK
+    n_ch = (head + count + chunk - 1) // chunk
     end = head + count
-    end_off = end - (n_ch - 1) * CHUNK  # lanes of the last chunk that are ours
-    tail_partial = jnp.logical_and(count > 0, end_off < CHUNK)
+    end_off = end - (n_ch - 1) * chunk  # lanes of the last chunk that are ours
+    tail_partial = jnp.logical_and(count > 0, end_off < chunk)
 
     px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)
@@ -345,23 +347,23 @@ def _bwd_kernel(
         [ones, lx, ly, lx * lx, lx * ly, ly * ly], axis=1
     )  # (256, 6) in tile-local coordinates
 
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (F_out, CHUNK), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (F_out, chunk), 1)
 
     def dma_in(c):
-        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        off = pl.multiple_of((base + c) * chunk, chunk)
         slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
-            isect_hbm.at[:, pl.ds(off, CHUNK)],
+            isect_hbm.at[:, pl.ds(off, chunk)],
             buf_ref.at[slot],
             sem.at[slot],
         )
 
     def dma_out(c):
-        off = pl.multiple_of((base + c) * CHUNK, CHUNK)
+        off = pl.multiple_of((base + c) * chunk, chunk)
         slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
             vbuf_ref.at[slot],
-            v_isect_hbm.at[:, pl.ds(off, CHUNK)],
+            v_isect_hbm.at[:, pl.ds(off, chunk)],
             osem.at[slot],
         )
 
@@ -411,8 +413,8 @@ def _bwd_kernel(
                 wait_out(c - NBUF)
 
             # two-sided lane mask (head/tail lanes are other tiles' slots)
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            g = c * CHUNK + lane_row
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            g = c * chunk + lane_row
             lane_valid = (g >= head) & (g < end)
             buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
             alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
@@ -561,14 +563,14 @@ def _bwd_kernel(
     # last chunk when its end is not 128-aligned).  Tail lanes are zero.
     @pl.when(t == n_t - 1)
     def _():
-        live_end = base * CHUNK + end  # == total live slots
-        last_off = live_end % CHUNK
+        live_end = base * chunk + end  # == total live slots
+        last_off = live_end % chunk
 
         @pl.when(last_off > 0)
         def _():
             flush = pltpu.make_async_copy(
                 pend_ref,
-                v_isect_hbm.at[:, pl.ds((live_end // CHUNK) * CHUNK, CHUNK)],
+                v_isect_hbm.at[:, pl.ds((live_end // chunk) * chunk, chunk)],
                 fsem.at[0],
             )
             flush.start()
@@ -584,7 +586,7 @@ def _bwd_kernel(
     jax.jit,
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
-        "width", "height", "n_tiles",
+        "width", "height", "n_tiles", "chunk",
     ),
 )
 def _fwd_call(
@@ -599,6 +601,7 @@ def _fwd_call(
     width: int,
     height: int,
     n_tiles: int,
+    chunk: int = CHUNK,
 ):
     F = isect_data.shape[0]
     D = n_channels
@@ -611,7 +614,7 @@ def _fwd_call(
             pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, F, CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, F, chunk), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -623,6 +626,7 @@ def _fwd_call(
         tiles_per_image=tiles_per_image,
         width=width,
         height=height,
+        chunk=chunk,
     )
     return pl.pallas_call(
         kernel,
@@ -640,7 +644,7 @@ def _fwd_call(
     jax.jit,
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
-        "width", "height", "n_tiles",
+        "width", "height", "n_tiles", "chunk",
     ),
 )
 def _bwd_call(
@@ -659,6 +663,7 @@ def _bwd_call(
     width: int,
     height: int,
     n_tiles: int,
+    chunk: int = CHUNK,
 ):
     F = isect_data.shape[0]
     P_pad = isect_data.shape[1]
@@ -678,11 +683,11 @@ def _bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, F, CHUNK), jnp.float32),
-            pltpu.VMEM((NBUF, F_out, CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, F, chunk), jnp.float32),
+            pltpu.VMEM((NBUF, F_out, chunk), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
             pltpu.VMEM((N_PIX, 1), jnp.float32),
-            pltpu.VMEM((F_out, CHUNK), jnp.float32),
+            pltpu.VMEM((F_out, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((1,)),
@@ -695,6 +700,7 @@ def _bwd_call(
         tiles_per_image=tiles_per_image,
         width=width,
         height=height,
+        chunk=chunk,
     )
     # Slots in the sentinel tail (beyond the last tile's span) are never
     # written — the reduction masks them by position (ops/rasterize.py).

@@ -235,6 +235,42 @@ def rasterization(
     N = means.shape[-2]
     I = B * C
 
+    # Degenerate-input sanitization (double-where): rows with non-finite
+    # means/quats/scales/covars or a zero quaternion are replaced by a safe
+    # zero-opacity gaussian BEFORE any math touches them.  The forward was
+    # already NaN-free (culling masks), but VJPs of where-masked expressions
+    # still produce 0 * NaN = NaN cotangents for such rows, which would
+    # poison Adam state in training.  The reference never reads culled
+    # gaussians at all (ProjectionEWA3DGSFused.cu early return); zero grads
+    # for degenerate rows are the TPU equivalent.
+    ok_in = jnp.isfinite(means).all(axis=-1)
+    if quats is not None:
+        ok_in &= jnp.isfinite(quats).all(axis=-1)
+        ok_in &= jnp.sum(quats * quats, axis=-1) > 1e-24
+    if scales is not None:
+        ok_in &= jnp.isfinite(scales).all(axis=-1)
+    if covars is not None:
+        cov_flat = covars.reshape(covars.shape[: means.ndim - 1] + (-1,))
+        ok_in &= jnp.isfinite(cov_flat).all(axis=-1)
+    ok_in &= jnp.isfinite(opacities)
+    okc = ok_in[..., None]
+    means = jnp.where(okc, means, 0.0)
+    if quats is not None:
+        unit_q = jnp.zeros_like(quats).at[..., 0].set(1.0)
+        quats = jnp.where(okc, quats, unit_q)
+    if scales is not None:
+        scales = jnp.where(okc, scales, 1.0)
+    if covars is not None:
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=covars.dtype), covars.shape
+        ) if covars.shape[-2:] == (3, 3) else jnp.asarray(
+            [1.0, 0.0, 0.0, 1.0, 0.0, 1.0], covars.dtype
+        )
+        covars = jnp.where(
+            okc if covars.ndim == means.ndim else okc[..., None], covars, eye
+        )
+    opacities = jnp.where(ok_in, opacities, 0.0)  # 0 < 1/255 -> culled
+
     calc_compensations = rasterize_mode == "antialiased"
     if with_eval3d:
         if rasterize_mode != "classic":
