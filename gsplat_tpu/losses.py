@@ -79,8 +79,12 @@ def ssim(
     mu1 = _blur2d(img1, w1d)
     mu2 = _blur2d(img2, w1d)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur2d(img1 * img1, w1d) - mu1_sq
-    sigma2_sq = _blur2d(img2 * img2, w1d) - mu2_sq
+    # clamp variances at 0: f32 cancellation in flat regions can make
+    # E[x^2] - E[x]^2 slightly negative, collapsing the denominator and
+    # producing SSIM > 1 on exactly the degenerate renders where the
+    # metric matters most (torchmetrics clamps the same way)
+    sigma1_sq = jnp.maximum(_blur2d(img1 * img1, w1d) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_blur2d(img2 * img2, w1d) - mu2_sq, 0.0)
     sigma12 = _blur2d(img1 * img2, w1d) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
@@ -139,8 +143,9 @@ def masked_ssim(
     mu1 = _blur2d(img1, w1d)
     mu2 = _blur2d(img2, w1d)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur2d(img1 * img1, w1d) - mu1_sq
-    sigma2_sq = _blur2d(img2 * img2, w1d) - mu2_sq
+    # variance clamp: see ssim()
+    sigma1_sq = jnp.maximum(_blur2d(img1 * img1, w1d) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_blur2d(img2 * img2, w1d) - mu2_sq, 0.0)
     sigma12 = _blur2d(img1 * img2, w1d) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (

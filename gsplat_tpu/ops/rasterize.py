@@ -77,7 +77,13 @@ ID_SENTINEL = 1 << 30  # sorts after every real row-record id
 import os as _os
 
 RASTER_CHUNK = int(_os.environ.get("GSPLAT_TPU_RASTER_CHUNK", "256"))
-assert RASTER_CHUNK % DEFAULT_CHUNK == 0, RASTER_CHUNK
+if RASTER_CHUNK <= 0 or RASTER_CHUNK % DEFAULT_CHUNK != 0:
+    # explicit raise (not assert: python -O would strip it and a
+    # non-128-multiple chunk reaches the kernels as misaligned DMA bases)
+    raise ValueError(
+        f"GSPLAT_TPU_RASTER_CHUNK must be a positive multiple of "
+        f"{DEFAULT_CHUNK}, got {RASTER_CHUNK}"
+    )
 
 
 def tile_image(img: jax.Array, tile_size: int = TILE) -> jax.Array:

@@ -214,6 +214,15 @@ def rasterization(
             "single lax.sort over (tile, depth) keys",
             stacklevel=2,
         )
+    if channel_chunk != 32:
+        import warnings
+
+        warnings.warn(
+            "channel_chunk has no effect on the TPU path: the Pallas "
+            "kernels hold all D channels in VMEM natively (tested D<=32); "
+            "the CUDA chunking it controls does not exist here",
+            stacklevel=2,
+        )
     if render_mode in _HIT_DIST_MODES and not with_eval3d:
         raise ValueError(
             f"hit-distance render mode {render_mode!r} requires "

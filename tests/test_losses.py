@@ -53,6 +53,26 @@ def test_ssim_identical_images(imgs):
     assert float(losses.ssim_loss(jnp.asarray(a), jnp.asarray(a))) < 1e-6
 
 
+def test_ssim_bounded_on_clipped_inputs():
+    """SSIM of [0,1]-clipped images must never exceed 1 + eps.
+
+    Regression for the f32-cancellation bug: flat regions make the
+    variance estimate slightly negative, collapsing the denominator
+    (a committed stats file once reported SSIM=1.26 on a degenerate
+    render).  Flat + near-flat images are the worst case."""
+    rng = np.random.default_rng(7)
+    flat = np.full((1, 64, 64, 3), 0.7, np.float32)
+    near = flat + rng.normal(0, 1e-4, flat.shape).astype(np.float32)
+    near = np.clip(near, 0.0, 1.0)
+    for a, b in [(flat, flat), (flat, near), (near, near)]:
+        v = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert v <= 1.0 + 1e-6, v
+        assert v >= -1.0 - 1e-6, v
+    m = np.ones((1, 64, 64), bool)
+    v = float(losses.masked_ssim(jnp.asarray(flat), jnp.asarray(near), jnp.asarray(m)))
+    assert v <= 1.0 + 1e-6, v
+
+
 def test_l1_mse(imgs):
     a, b = imgs
     assert abs(

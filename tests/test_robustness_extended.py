@@ -199,12 +199,15 @@ def test_mixed_degenerate_valid_grad_parity():
     g_mixed = _grads(means2, quats2, scales2, opac2, colors2)
     for gc, gm in zip(g_clean, g_mixed):
         gm = np.asarray(gm)
+        gc = np.asarray(gc)
         assert np.isfinite(gm).all()
-        np.testing.assert_allclose(
-            gm[: gc.shape[0] if gm.ndim == 1 else 48][:48],
-            np.asarray(gc)[:48] if gm.ndim == 1 else np.asarray(gc)[:48],
-            atol=1e-5, rtol=1e-4,
-        )
+        # slice the GAUSSIAN axis (second-to-last for >=2-D grads like
+        # colors' [1, N, 3]; leading for 1-D grads like opacities' [N])
+        if gm.ndim == 1:
+            gm_v, gc_v = gm[:48], gc[:48]
+        else:
+            gm_v, gc_v = gm[..., :48, :], gc[..., :48, :]
+        np.testing.assert_allclose(gm_v, gc_v, atol=1e-5, rtol=1e-4)
 
 
 def test_negative_opacity_clamped():
