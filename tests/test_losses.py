@@ -68,7 +68,7 @@ def test_ssim_bounded_on_clipped_inputs():
         v = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
         assert v <= 1.0 + 1e-6, v
         assert v >= -1.0 - 1e-6, v
-    m = np.ones((1, 64, 64), bool)
+    m = np.ones((1, 64, 64, 1), bool)
     v = float(losses.masked_ssim(jnp.asarray(flat), jnp.asarray(near), jnp.asarray(m)))
     assert v <= 1.0 + 1e-6, v
 
