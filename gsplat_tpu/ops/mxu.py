@@ -29,6 +29,8 @@ Exactness domains (all verified on hardware by tests/test_mxu.py):
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -99,3 +101,79 @@ def sel_01_exact(x: jax.Array, onehot_t: jax.Array) -> jax.Array:
         preferred_element_type=jnp.float32,
     )
     return _sum3(o)
+
+
+def _round_bf16(x: jax.Array) -> jax.Array:
+    """Round an f32 to the nearest bf16-exact f32 (mantissa bit-add+mask).
+
+    Unlike `_trunc_bf16` (truncation toward zero), this rounds half away
+    from zero, so split residuals have RANDOM sign: dropped cross terms in
+    `dot_faithful` accumulate as sqrt(K) instead of the coherent K growth
+    truncation causes (every truncated residue shares the product's sign).
+    The +0x8000 carry propagates into the exponent exactly as FP rounding
+    requires; sign-magnitude layout makes it symmetric for negatives.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits + jnp.int32(0x8000), jnp.int32(-65536)),
+        jnp.float32,
+    )
+
+
+def split2(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """f32 [R, C] -> two bf16-exact f32 components (nearest-rounded).
+
+    x1 + x2 captures ~17 of f32's 24 mantissa bits; the residual is
+    <= 2**-18 |x| with random sign (see `_round_bf16`).
+    """
+    x1 = _round_bf16(x)
+    r = x - x1  # exact (Sterbenz: x1 within one bf16 ulp of x)
+    x2 = _round_bf16(r)
+    return x1, x2
+
+
+def dot_faithful(
+    a: jax.Array, b: jax.Array, dims=(((1,), (0,)), ((), ()))
+) -> jax.Array:
+    """a [.., K, ..] f32 @ b f32 -> f32 with ~2**-16-relative per-product
+    error: both sides 2-split into bf16, three cross products
+    (a1*b1 + a1*b2 + a2*b1) in ONE bf16 matmul via K-axis concatenation,
+    f32 accumulation.
+
+    3 K-passes vs Precision.HIGHEST's 6 (which 3-splits both sides).  Used
+    for the rasterization kernels' data x data matmuls (color
+    accumulation, pixel-basis moment reductions), where the dropped
+    a2*b2 + residual terms are ~2**-16 of each product — far below the
+    compositing pipeline's gate/oracle tolerances, at half the MXU cost.
+    The contraction must be a single axis on each side (`dims` as in
+    jax.lax.dot_general; default: last of a vs first of b).
+    """
+    (ka,), (kb,) = dims[0]
+    a1, a2 = split2(a)
+    b1, b2 = split2(b)
+    ac = jnp.concatenate([a1, a1, a2], axis=ka).astype(jnp.bfloat16)
+    bc = jnp.concatenate([b1, b2, b1], axis=kb).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        ac, bc, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+
+
+def dot_exact2_faithful(
+    a: jax.Array, b: jax.Array, dims=(((1,), (0,)), ((), ()))
+) -> jax.Array:
+    """Like `dot_faithful` but for an `a` side that is EXACTLY 2-splittable
+    (<= 16 significant mantissa bits, e.g. the rasterizer's pixel-moment
+    basis: half-integer coords and their products need <= 10 bits).
+
+    All four cross products ride one bf16 matmul (4 K-passes vs HIGHEST's
+    6), leaving only a * r_b with |r_b| <= 2**-18 |b| and random sign —
+    per-product error ~2**-18, within 2x of HIGHEST at 2/3 the MXU cost.
+    """
+    (ka,), (kb,) = dims[0]
+    a1, a2 = split2(a)  # exact: a1 + a2 == a for <=16-bit mantissas
+    b1, b2 = split2(b)
+    ac = jnp.concatenate([a1, a1, a2, a2], axis=ka).astype(jnp.bfloat16)
+    bc = jnp.concatenate([b1, b2, b1, b2], axis=kb).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        ac, bc, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )

@@ -65,6 +65,9 @@ from .gather_pallas import (
 from .isect import _fill_forward_index, build_tile_worklist
 from .projection import ALPHA_THRESHOLD
 from .rasterize_pallas import DEFAULT_CHUNK, N_PIX, TILE, _bwd_call, _fwd_call
+from .segsum_pallas import PIECE as SEG_PIECE
+from .segsum_pallas import SEG as SEG_SEG
+from .segsum_pallas import segment_rowsum
 
 ID_SENTINEL = 1 << 30  # sorts after every real row-record id
 
@@ -464,26 +467,32 @@ def _core_bwd(
     )  # [6+D, P_pad] per-slot grads at sorted positions
 
     # Slots beyond the live stream (sentinel keys / dummies) were never
-    # written: mask their ids to the sentinel and their grads to zero.
+    # written: mask their ids to the sentinel so they sort to the tail.
+    # Their grad payload may hold kernel-scratch garbage — it rides the
+    # sort untouched (int-keyed) and the segmented reduction below masks
+    # everything past the live boundary, so no where() pass over [F, P]
+    # is needed.
     pos = jnp.arange(P, dtype=jnp.int32)
     in_live = pos < live_total[0]
     ids = jnp.where(in_live, emis_s, ID_SENTINEL)
     n_rows_grad = 6 + D
-    grads = jnp.where(in_live[None, :], v_slot[:, :P], 0.0)
 
     # Deterministic per-gaussian reduction: payload-sort by emission
     # position (positions of one gaussian are contiguous in emission
-    # order), one cumsum, one boundary gather at gaussian granularity.
-    operands = (ids,) + tuple(grads[i] for i in range(n_rows_grad))
+    # order), then one Pallas segmented row-sum at gaussian granularity
+    # (ops/segsum_pallas.py — replaces cumsum + boundary gather: XLA's
+    # per-element gather cost ~65 ms at bench scale, and the windowed
+    # one-hot sum also avoids cumsum-difference cancellation).
+    operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_rows_grad))
     # unstable: emission positions are unique
     srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
-    v_rows = jnp.stack(srt[1:], axis=1)  # [P, 6+D]
+    rows = list(srt[1:])
     if absgrad:
-        v_rows = jnp.concatenate([v_rows, jnp.abs(v_rows[:, :2])], axis=1)
-    Wc = v_rows.shape[1]
-    cs = jnp.concatenate(
-        [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)], axis=0
-    )  # [P+1, Wc]
+        rows += [jnp.abs(rows[0]), jnp.abs(rows[1])]
+    Wc = len(rows)
+    F_pad = _round_up(Wc, 8)
+    rows += [jnp.zeros_like(rows[0])] * (F_pad - Wc)
+    data = jnp.pad(jnp.stack(rows), ((0, 0), (0, 2 * SEG_PIECE)))
 
     # per-gaussian surviving-slot counts -> boundaries in the id-sorted
     # stream (emission is gaussian-major over contiguous row records)
@@ -500,17 +509,20 @@ def _core_bwd(
     )
     ends = jnp.cumsum(gvrc).astype(jnp.int32)
     positions = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])  # [E+1]
-    csg = cs[positions]  # [E+1, Wc] monotone row gather
-    v_gauss = csg[1:] - csg[:-1]  # [E, Wc] in compacted order
+    vg = segment_rowsum(
+        data, positions, n_out=_round_up(E, SEG_SEG), live_rows=Wc
+    )  # [F_pad, E_out] in compacted order
 
     if compact:
         # un-permute back to the caller's original order (payload sort by
         # the original index — the exact inverse of the forward compaction)
         uns = jax.lax.sort(
-            (perm,) + tuple(v_gauss[:, i] for i in range(Wc)),
+            (perm,) + tuple(vg[i, :E] for i in range(Wc)),
             num_keys=1, is_stable=False,
         )
         v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
+    else:
+        v_gauss = jnp.stack([vg[i, :E] for i in range(Wc)], axis=1)
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]

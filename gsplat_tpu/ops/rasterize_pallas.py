@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot_01_exact
+from .mxu import dot_01_exact, dot_exact2_faithful, dot_faithful
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
 CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
@@ -83,17 +83,28 @@ def _tri_incl(k: int) -> jax.Array:
 
 
 def _cumsum_lane(x: jax.Array) -> jax.Array:
-    """Inclusive cumulative sum along axis 1 as ONE MXU matmul.
+    """Inclusive cumulative sum along axis 1: blocked MXU triangular scan.
 
-    x @ T with T upper-triangular-ones: the scan becomes a
-    (3*256, 128) x (128, 128) bf16 matmul (f32 accumulate) instead of a
-    log2(128)-step Hillis-Steele roll chain on the VPU — the kernels are
-    VPU-bound, so moving the scans to the (otherwise idle) MXU is the
-    single biggest per-chunk win.  T is 0/1 (exact in bf16), so the exact
-    three-component data split (ops/mxu.py) reaches f32 accuracy in 3 MXU
-    passes — half the cost of Precision.HIGHEST.
+    Each 128-lane block scans via one exact bf16x3 matmul against T128
+    (T is 0/1 — exact in bf16, so the three-component data split of
+    ops/mxu.py reaches f32 accuracy in 3 MXU passes); block totals chain
+    through a cheap running carry.  Blocking makes the scan LINEAR in
+    chunk width — the single full-chunk triangular matmul is quadratic
+    (a 256-wide chunk costs 4x a 128-wide one, 512-wide costs 16x), which
+    is what previously made wide DMA chunks unaffordable.
     """
-    return dot_01_exact(x, _tri_incl(x.shape[1]))
+    k = x.shape[1]
+    if k <= 128:
+        return dot_01_exact(x, _tri_incl(k))
+    assert k % 128 == 0
+    t128 = _tri_incl(128)
+    out = []
+    carry = jnp.zeros((x.shape[0], 1), jnp.float32)
+    for i in range(k // 128):
+        blk = dot_01_exact(x[:, i * 128 : (i + 1) * 128], t128)
+        out.append(blk + carry)
+        carry = carry + blk[:, 127:128]
+    return jnp.concatenate(out, axis=1)
 
 
 def _cumprod_lane(x: jax.Array) -> jax.Array:
@@ -233,12 +244,10 @@ def _fwd_kernel(
             w = alpha * (t_prev * cp_excl) * contribute  # (256, 128)
 
             colors = buf[6 : 6 + n_channels, :]  # (D, 128)
-            acc = jax.lax.dot_general(
-                colors,
-                w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # faithful 3-pass bf16 (vs HIGHEST's 6): per-product error
+            # ~2**-16, f32 accumulation — orders below the gate tolerances
+            acc = dot_faithful(
+                colors, w, dims=(((1,), (1,)), ((), ()))
             )  # (D, 256)
             color_ref[0] += acc
 
@@ -430,13 +439,10 @@ def _bwd_kernel(
             w = alpha * t_i * contribute
 
             colors = buf[6 : 6 + D, :]  # (D, L)
-            # d(p, g) = sum_c v_pix(c, p) * colors(c, g)
-            d = jax.lax.dot_general(
-                v_pix,
-                colors,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # d(p, g) = sum_c v_pix(c, p) * colors(c, g) — faithful 3-pass
+            # bf16 (K = 3D stays one MXU pass; see ops/mxu.py:dot_faithful)
+            d = dot_faithful(
+                v_pix, colors, dims=(((0,), (0,)), ((), ()))
             )  # (256, L)
 
             wd = w * d
@@ -453,13 +459,12 @@ def _bwd_kernel(
                 jnp.where(unclamped, vis * v_alpha, 0.0), axis=0, keepdims=True
             )  # (1, L)
 
-            # pixel-basis reductions: one MXU matmul
-            R = jax.lax.dot_general(
-                basis,
-                v_sigma,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # pixel-basis reductions: one MXU matmul.  The basis side is
+            # exactly 2-splittable (half-integer coords, <=10 mantissa
+            # bits), so the 4-pass exact-basis variant holds ~2**-18
+            # per-product error despite the large lx**2 terms.
+            R = dot_exact2_faithful(
+                basis, v_sigma, dims=(((0,), (0,)), ((), ()))
             )  # (6, L)
             r0, r1, r2 = R[0:1, :], R[1:2, :], R[2:3, :]
             r3, r4, r5 = R[3:4, :], R[4:5, :], R[5:6, :]
@@ -474,13 +479,9 @@ def _bwd_kernel(
             s_dx = mxl * r0 - r1
             s_dy = myl * r0 - r2
 
-            # v_colors(c, g) = sum_p v_pix(c, p) w(p, g)
-            v_col = jax.lax.dot_general(
-                v_pix,
-                w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # v_colors(c, g) = sum_p v_pix(c, p) w(p, g) — faithful 3-pass
+            v_col = dot_faithful(
+                v_pix, w, dims=(((1,), (0,)), ((), ()))
             )  # (D, L)
 
             vbuf_ref[slot, 0:1, :] = ca * s_dx + cb * s_dy  # v_mx
