@@ -43,8 +43,10 @@ from gsplat_tpu.optimizers import adam_init, adam_update, selective_adam_update
 from gsplat_tpu.rendering import rasterization
 from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
 from gsplat_tpu.training import (
+    apply_appearance,
     apply_pose_deltas,
     bilateral_slice_image,
+    init_appearance,
     exponential_lr,
     init_bilateral_grids,
     init_pose_deltas,
@@ -122,8 +124,28 @@ class Config:
     # from the FULL point cloud (a real sparse-to-dense reconstruction
     # task — the environment ships no photographs)
     npz_subsample: int = 1
+    # npz benchmark: expand the 3 bundled cameras into this many views along
+    # an interpolated path and train on those (0 = use the raw 3 views).
+    # Fixes the 2-view pathology: with dense multi-view supervision the
+    # benchmark is a real reconstruction, not an ill-posed overfit.
+    npz_traj_views: int = 0
+    # hold out every n-th trajectory view for eval (reference datasets use
+    # test_every=8, e.g. examples/datasets/colmap.py)
+    npz_eval_every: int = 8
     # optional LPIPS(VGG) weights npz for eval (see training/metrics.py)
     lpips_weights: str = ""
+    # export a .ply of the live splats at every save step (reference
+    # simple_trainer.py:1073-1105 save_ply)
+    save_ply: bool = False
+    # run splat compression after training: "" (off) | "png" (reference
+    # simple_trainer.py:1412 run_compression + compression/PngCompression)
+    compression: str = ""
+    # appearance optimization: per-view embedding + MLP color head on top
+    # of the base color (reference simple_trainer.py:222-228 app_opt)
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
 
 
 def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
@@ -193,6 +215,11 @@ def create_splats(
         "opacities": jnp.asarray(pad(opac)),
         "sh0": jnp.asarray(pad(sh0.astype(np.float32))),
         "shN": jnp.asarray(pad(shN)),
+        # per-gaussian appearance features (reference simple_trainer.py:344
+        # splats["features"] = torch.rand(N, feature_dim) when app_opt);
+        # densification duplicates them like any other leaf
+        **({"features": jnp.asarray(pad(
+            rng.random((N, 32), dtype=np.float32)))} if cfg.app_opt else {}),
     }
     alive = jnp.asarray(np.arange(capacity) < N)
     return params, alive
@@ -219,10 +246,39 @@ class Runner:
             self._full_rgbs = (data["colors"] / 255.0).astype(np.float32)
             points = self._full_points[:: max(cfg.npz_subsample, 1)]
             rgbs = self._full_rgbs[:: max(cfg.npz_subsample, 1)]
-            # overfit demo: no gt images exist, so render targets are held
-            # out later; train views 0..C-2, eval view C-1
-            self.train_views = list(range(len(viewmats) - 1))
-            self.eval_views = [len(viewmats) - 1]
+            if cfg.npz_traj_views > 0:
+                # multi-view benchmark: densify the camera set along an
+                # interpolated path through the bundled views, then hold
+                # out every npz_eval_every-th for eval.  Views are
+                # reordered [train..., eval...] so the target slicing in
+                # train() stays positional.
+                from datasets.traj import generate_interpolated_path
+
+                c2w = np.linalg.inv(viewmats)[:, :3, :]
+                per_seg = max(
+                    cfg.npz_traj_views // max(len(c2w) - 1, 1), 1
+                )
+                path = generate_interpolated_path(c2w, per_seg)
+                bottom = np.broadcast_to(
+                    np.array([0, 0, 0, 1], np.float32), (len(path), 1, 4)
+                )
+                c2w4 = np.concatenate(
+                    [path.astype(np.float32), bottom], axis=1
+                )
+                vm = np.linalg.inv(c2w4).astype(np.float32)
+                Ks = np.broadcast_to(Ks[:1], (len(vm), 3, 3)).copy()
+                idx = np.arange(len(vm))
+                held = idx % max(cfg.npz_eval_every, 2) == 1
+                order = np.concatenate([idx[~held], idx[held]])
+                viewmats, Ks = vm[order], Ks[order]
+                n_tr = int((~held).sum())
+                self.train_views = list(range(n_tr))
+                self.eval_views = list(range(n_tr, len(vm)))
+            else:
+                # overfit demo: no gt images exist, so render targets are
+                # held out later; train views 0..C-2, eval view C-1
+                self.train_views = list(range(len(viewmats) - 1))
+                self.eval_views = [len(viewmats) - 1]
             self.viewmats, self.Ks = viewmats, Ks
             self.images = None  # targets rendered from init state (demo)
             centers = np.linalg.inv(viewmats)[:, :3, 3]
@@ -296,6 +352,17 @@ class Runner:
             self.bil_lr = 2e-3 * math.sqrt(cfg.batch_size)
         else:
             self.bil_grids = None
+        if cfg.app_opt:
+            # per-view embedding + MLP color head (reference
+            # simple_trainer.py:222-228; module: training/pose.py)
+            self.key, ka = jax.random.split(self.key)
+            self.app_params = init_appearance(
+                ka, n_train, feature_dim=32,
+                embed_dim=cfg.app_embed_dim, sh_degree=cfg.sh_degree,
+            )
+            self.app_opt_state = adam_init({"app": self.app_params})
+        else:
+            self.app_params = None
         self.lpips_w = (
             load_lpips_weights(cfg.lpips_weights)
             if cfg.lpips_weights and os.path.exists(cfg.lpips_weights)
@@ -314,16 +381,33 @@ class Runner:
             "sh0": cfg.sh0_lr * bs_scale,
             "shN": cfg.shN_lr * bs_scale,
         }
+        if cfg.app_opt:
+            # reference simple_trainer.py:346 (features lr = 2.5e-3)
+            self.lrs["features"] = cfg.sh0_lr * bs_scale
 
     def render(self, params, alive, viewmats, Ks, sh_degree, offset=None,
-               absgrad=False):
+               absgrad=False, app=None, cam_ids=None):
         op = jnp.where(alive, jax.nn.sigmoid(params["opacities"]), 0.0)
+        if app is not None:
+            # appearance head: per-view MLP color on top of the base color
+            # (reference simple_trainer.py:755-765: app_module(features,
+            # embed_ids, dirs) + splats["colors"] -> sigmoid).  Here the
+            # pre-sigmoid base rides in sh0's DC row.
+            cam_pos = _invert_se3(viewmats)[:, :3, 3]  # [C, 3]
+            dirs = params["means"][None, :, :] - cam_pos[:, None, :]
+            adj = apply_appearance(
+                app, params["features"], cam_ids, dirs, sh_degree
+            )  # [C, N, 3]
+            colors = jax.nn.sigmoid(adj + params["sh0"][None, :, 0, :])
+            sh_degree = None
+        else:
+            colors = jnp.concatenate([params["sh0"], params["shN"]], axis=1)
         return rasterization(
             params["means"],
             params["quats"],
             jnp.exp(params["scales"]),
             op,
-            jnp.concatenate([params["sh0"], params["shN"]], axis=1),
+            colors,
             viewmats,
             Ks,
             self.width,
@@ -347,10 +431,10 @@ class Runner:
 
         @jax.jit
         def train_step(params, opt_state, alive, viewmats, Ks, pixels,
-                       pose_deltas, cam_ids, bil_grids):
+                       pose_deltas, cam_ids, bil_grids, app_params):
             offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
-            def loss_fn(p, offset, pose, bil):
+            def loss_fn(p, offset, pose, bil, app):
                 vm = viewmats
                 if cfg.pose_opt:
                     # adjust camtoworlds by the per-camera deltas, then
@@ -361,6 +445,7 @@ class Runner:
                 colors, alphas, meta = self.render(
                     p, alive, vm, Ks, sh_degree, offset=offset,
                     absgrad=absgrad,
+                    app=app if cfg.app_opt else None, cam_ids=cam_ids,
                 )
                 if cfg.bilateral_grid:
                     # per-view color affines on the raw renders (reference
@@ -383,14 +468,17 @@ class Runner:
                     )
                 if cfg.pose_opt and cfg.pose_opt_reg > 0:
                     loss += cfg.pose_opt_reg * jnp.sum(pose ** 2)
+                if cfg.app_opt and cfg.app_opt_reg > 0:
+                    # embeds weight decay (reference :609 weight_decay)
+                    loss += cfg.app_opt_reg * jnp.sum(app["embeds"] ** 2)
                 return loss, (meta["radii"], meta["isect_overflow"])
 
             (loss, (radii, overflow)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-            )(params, offset0, pose_deltas, bil_grids)
-            g_params, g_screen, g_pose, g_bil = grads
+                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )(params, offset0, pose_deltas, bil_grids, app_params)
+            g_params, g_screen, g_pose, g_bil, g_app = grads
             visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-            return (loss, g_params, g_screen, g_pose, g_bil, radii,
+            return (loss, g_params, g_screen, g_pose, g_bil, g_app, radii,
                     visibility, overflow)
 
         return train_step
@@ -430,7 +518,7 @@ class Runner:
             targets_all = self._make_npz_targets()
             targets = targets_all[: len(self.train_views)]
             self._heldout = (
-                targets_all[-1:],
+                targets_all[len(self.train_views):],
                 jnp.asarray(self.viewmats[self.eval_views]),
                 jnp.asarray(self.Ks[self.eval_views]),
             )
@@ -456,6 +544,10 @@ class Runner:
         pose_deltas = self.pose_deltas
         bil_grids = (
             self.bil_grids if cfg.bilateral_grid
+            else jnp.zeros((1,), jnp.float32)  # unused placeholder
+        )
+        app_params = (
+            self.app_params if cfg.app_opt
             else jnp.zeros((1,), jnp.float32)  # unused placeholder
         )
         overflow_steps = 0
@@ -512,10 +604,10 @@ class Runner:
             px = targets[idx]
             cam_ids = jnp.asarray(idx, jnp.int32)
 
-            (loss, g_params, g_screen, g_pose, g_bil, radii, visibility,
-             overflow) = train_steps[sh_degree](
+            (loss, g_params, g_screen, g_pose, g_bil, g_app, radii,
+             visibility, overflow) = train_steps[sh_degree](
                 params, opt_state, alive, vm, ks, px, pose_deltas, cam_ids,
-                bil_grids,
+                bil_grids, app_params,
             )
 
             lr_scale = 0.01 ** (step / cfg.max_steps)
@@ -534,6 +626,12 @@ class Runner:
                     self.bil_opt_state, {"bil": self.bil_lr},
                 )
                 bil_grids = bg["bil"]
+            if cfg.app_opt:
+                ap, self.app_opt_state = adam_update(
+                    {"app": app_params}, {"app": g_app},
+                    self.app_opt_state, {"app": cfg.app_opt_lr},
+                )
+                app_params = ap["app"]
             if step % 100 == 0 and bool(overflow):
                 overflow_steps += 1
                 print(
@@ -590,6 +688,8 @@ class Runner:
                 self.params, self.alive = params, alive
                 if cfg.bilateral_grid:
                     self.bil_grids = bil_grids
+                if cfg.app_opt:
+                    self.app_params = app_params
                 if cfg.data == "npz":
                     # train-view PSNR is the benchmark metric (with only
                     # 2 training cameras, held-out generalization
@@ -619,6 +719,11 @@ class Runner:
             viewer.complete()  # switch to rendering mode; server stays up
         if cfg.render_traj:
             self.render_traj(step=cfg.max_steps - 1)
+        if cfg.compression:
+            if cfg.compression != "png":
+                raise ValueError(f"unknown compression: {cfg.compression}")
+            self.params, self.alive = params, alive
+            self.run_compression(cfg.max_steps - 1)
         return params, alive
 
     def _make_npz_targets(self):
@@ -635,22 +740,30 @@ class Runner:
         n = len(pts)
         quats = np.zeros((n, 4), np.float32)
         quats[:, 0] = 1.0
-        c, _, _ = rasterization(
-            jnp.asarray(pts), jnp.asarray(quats),
-            jnp.asarray(scales.astype(np.float32)),
-            jnp.full((n,), 0.9, jnp.float32),
-            jnp.asarray(self._full_rgbs),
-            jnp.asarray(self.viewmats),
-            jnp.asarray(self.Ks),
-            self.width, self.height,
-            isect_capacity=self.cfg.isect_capacity,
-        )
-        return jnp.clip(c, 0.0, 1.0)
+        # render in small camera batches so the intersection capacity set
+        # for training (batch_size cameras) also bounds target generation
+        outs = []
+        for i in range(0, len(self.viewmats), 4):
+            c, _, _ = rasterization(
+                jnp.asarray(pts), jnp.asarray(quats),
+                jnp.asarray(scales.astype(np.float32)),
+                jnp.full((n,), 0.9, jnp.float32),
+                jnp.asarray(self._full_rgbs),
+                jnp.asarray(self.viewmats[i : i + 4]),
+                jnp.asarray(self.Ks[i : i + 4]),
+                self.width, self.height,
+                isect_capacity=self.cfg.isect_capacity,
+            )
+            outs.append(jnp.clip(c, 0.0, 1.0))
+        return jnp.concatenate(outs, axis=0)
 
     def eval(self, step, targets, viewmats, Ks, tag="eval", grids=None):
         sh_degree = min(step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
         colors, _, _ = self.render(
-            self.params, self.alive, viewmats, Ks, sh_degree
+            self.params, self.alive, viewmats, Ks, sh_degree,
+            # appearance eval uses the zero embedding (reference
+            # simple_trainer.py eval: embed_ids=None)
+            app=self.app_params, cam_ids=None,
         )
         if grids is not None:
             # per-view trained color correction (train views only — held-out
@@ -773,6 +886,53 @@ class Runner:
             flat[f"ss_{k}"] = np.asarray(v)
         np.savez(out, **flat)
         print(f"saved {out}", flush=True)
+
+        if self.cfg.save_ply:
+            # live-splat PLY alongside the checkpoint (reference
+            # simple_trainer.py:1073-1105)
+            from gsplat_tpu.exporter import export_splats
+
+            keep = np.asarray(alive)
+            ply_dir = os.path.join(self.cfg.result_dir, "ply")
+            os.makedirs(ply_dir, exist_ok=True)
+            export_splats(
+                means=np.asarray(params["means"])[keep],
+                scales=np.asarray(params["scales"])[keep],
+                quats=np.asarray(params["quats"])[keep],
+                opacities=np.asarray(params["opacities"])[keep].reshape(-1),
+                sh0=np.asarray(params["sh0"])[keep],
+                shN=np.asarray(params["shN"])[keep],
+                format="ply",
+                save_to=os.path.join(ply_dir, f"point_cloud_{step}.ply"),
+            )
+            print(f"saved {ply_dir}/point_cloud_{step}.ply", flush=True)
+
+    def run_compression(self, step):
+        """Compress the live splats and report reconstruction quality.
+
+        Parity: reference simple_trainer.py:1412-1436 (run_compression:
+        compress -> decompress -> eval on the held-out views).
+        """
+        from gsplat_tpu.compression import PngCompression
+
+        keep = np.asarray(self.alive)
+        splats = {
+            "means": np.asarray(self.params["means"])[keep],
+            "scales": np.asarray(self.params["scales"])[keep],
+            "quats": np.asarray(self.params["quats"])[keep],
+            "opacities": np.asarray(self.params["opacities"])[keep].reshape(
+                -1
+            ),
+            "sh0": np.asarray(self.params["sh0"])[keep],
+            "shN": np.asarray(self.params["shN"])[keep],
+        }
+        cdir = os.path.join(self.cfg.result_dir, "compression")
+        comp = PngCompression()
+        comp.compress(cdir, splats)
+        total = sum(
+            os.path.getsize(os.path.join(cdir, f)) for f in os.listdir(cdir)
+        )
+        print(f"compressed splats -> {cdir} ({total/1e6:.2f} MB)", flush=True)
 
     def _load(self, path):
         """Resume from a _save checkpoint (inverse of _save)."""

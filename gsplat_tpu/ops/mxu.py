@@ -158,6 +158,37 @@ def dot_faithful(
     )
 
 
+def dot_exact2_exact3(
+    a: jax.Array, b: jax.Array, dims=(((1,), (0,)), ((), ()))
+) -> jax.Array:
+    """f32-EXACT-class matmul for an `a` side that is exactly 2-splittable
+    (<= 16 significant mantissa bits) against arbitrary f32 `b`.
+
+    a = a1 + a2 (exact), b = b1 + b2 + b3 (exact 3-split): all SIX cross
+    products are bf16 x bf16 (8-bit x 8-bit mantissas -> exact in the f32
+    accumulator), so the only rounding is the f32 accumulation itself —
+    the same class as a native f32 dot, at 6 K-passes in ONE bf16 matmul.
+    Used for the conic evaluation sigma = basis @ coeffs, where faithful
+    2x2 splitting is not enough (the per-slot constant/linear/quadratic
+    terms cancel to a small sigma near gaussian centers).
+    """
+    (ka,), (kb,) = dims[0]
+    a1, a2 = split2(a)  # exact for <=16-bit mantissas
+    b1 = _trunc_bf16(b)
+    r = b - b1
+    b2 = _trunc_bf16(r)
+    b3 = r - b2
+    ac = jnp.concatenate([a1, a1, a1, a2, a2, a2], axis=ka).astype(
+        jnp.bfloat16
+    )
+    bc = jnp.concatenate([b1, b2, b3, b1, b2, b3], axis=kb).astype(
+        jnp.bfloat16
+    )
+    return jax.lax.dot_general(
+        ac, bc, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+
+
 def dot_exact2_faithful(
     a: jax.Array, b: jax.Array, dims=(((1,), (0,)), ((), ()))
 ) -> jax.Array:

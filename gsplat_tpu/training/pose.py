@@ -72,9 +72,11 @@ def init_appearance(
     """
     K = num_sh_bases(sh_degree)
     dims = [embed_dim + feature_dim + K] + [mlp_width] * (mlp_depth) + [3]
+    # every leaf is a float array so the whole dict can ride through
+    # value_and_grad; layer count and max SH degree are recovered from the
+    # weight shapes in apply_appearance
     params: Dict[str, jax.Array] = {
         "embeds": jnp.zeros((n_cameras, embed_dim), jnp.float32),
-        "sh_degree": jnp.asarray(sh_degree, jnp.int32),
     }
     for i in range(len(dims) - 1):
         key, k1 = jax.random.split(key)
@@ -83,7 +85,6 @@ def init_appearance(
             k1, (dims[i], dims[i + 1]), jnp.float32, -bound, bound
         )
         params[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
-    params["n_layers"] = jnp.asarray(len(dims) - 1, jnp.int32)
     return params
 
 
@@ -108,12 +109,13 @@ def apply_appearance(
     emb = jnp.broadcast_to(emb[:, None, :], (C, N, embed_dim))
     feats = jnp.broadcast_to(features[None], (C, N, features.shape[-1]))
     d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    K_total = num_sh_bases(int(params["sh_degree"]))
-    K_use = num_sh_bases(sh_degree)
+    # max basis count = first-layer fan-in minus the non-SH inputs
+    K_total = params["w0"].shape[0] - embed_dim - features.shape[-1]
+    K_use = min(num_sh_bases(sh_degree), K_total)
     bases = jnp.zeros((C, N, K_total), jnp.float32)
     bases = bases.at[..., :K_use].set(eval_sh_bases(K_use, d))
     h = jnp.concatenate([emb, feats, bases], axis=-1)
-    n_layers = int(params["n_layers"])
+    n_layers = sum(1 for k in params if k.startswith("w"))
     for i in range(n_layers):
         h = h @ params[f"w{i}"] + params[f"b{i}"]
         if i < n_layers - 1:

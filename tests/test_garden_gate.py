@@ -91,7 +91,6 @@ def test_garden_forward_parity(garden):
     band_close(a_p[..., 0], a_o[..., 0], "alphas")
 
 
-@pytest.mark.slow
 def test_garden_pixel_grad_parity(garden):
     g = garden
     key = jax.random.PRNGKey(0)

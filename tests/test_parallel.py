@@ -80,7 +80,6 @@ def test_sharded_sh_and_depth(mesh, scene):
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), atol=3e-5)
 
 
-@pytest.mark.slow
 def test_sharded_gradients_match(mesh, scene):
     s = scene
     tgt = jnp.asarray(
@@ -142,7 +141,6 @@ def test_sharded_screen_grads(mesh, scene):
     )
 
 
-@pytest.mark.slow
 def test_packed_exchange_matches_dense(mesh, scene):
     """The count-routed ragged splat exchange must match the dense
     exchange exactly — forward and gradients (reference packed path,

@@ -146,7 +146,6 @@ def test_dynamic_surgical_trainer_smoke():
         sys.argv = argv
 
 
-@pytest.mark.slow
 def test_trainer_ckpt_resume(tiny_npz, tmp_path, monkeypatch):
     """--ckpt round-trip: resume restores params, optimizer and step.
 
@@ -354,3 +353,86 @@ def test_trainer_with_live_viewer(tiny_npz, tmp_path, monkeypatch):
         info = json.loads(r.read())
     assert info["total_gs_count"] == 512
     v.close()
+
+
+def test_trainer_app_opt_ply_compression(tiny_npz, tmp_path, monkeypatch):
+    """Appearance optimization + PLY save + compression step, end-to-end.
+
+    Parity: reference simple_trainer.py app_opt (:222-228, :755-765),
+    save_ply (:1073-1105) and run_compression (:1412-1436).
+    """
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy="default",
+        data="npz",
+        result_dir=str(tmp_path / "out"),
+        max_steps=4,
+        batch_size=1,
+        sh_degree=1,
+        sh_degree_interval=2,
+        isect_capacity=1 << 14,
+        capacity=512,
+        refine_every=100,
+        eval_every=4,
+        save_every=4,
+        app_opt=True,
+        save_ply=True,
+        compression="png",
+    )
+    runner = Runner(cfg)
+    assert "features" in runner.params
+    params, alive = runner.train()
+    assert np.isfinite(np.asarray(params["means"])).all()
+    # appearance params actually trained (embeds move off zero-init)
+    emb = np.asarray(runner.app_params["embeds"])
+    assert np.abs(emb).max() > 0
+    ply_dir = tmp_path / "out" / "ply"
+    plys = list(ply_dir.iterdir())
+    assert plys, "save_ply wrote no PLY file"
+    from gsplat_tpu.exporter import load_ply_to_splats
+
+    loaded = load_ply_to_splats(str(plys[0]))
+    assert loaded["means"].shape[0] == int(np.asarray(alive).sum())
+    cdir = tmp_path / "out" / "compression"
+    assert (cdir / "meta.json").exists()
+    from gsplat_tpu.compression import PngCompression
+
+    rec = PngCompression().decompress(str(cdir))
+    assert np.isfinite(rec["means"]).all()
+
+
+def test_trainer_npz_traj_views(tiny_npz, tmp_path, monkeypatch):
+    """Multi-view trajectory benchmark: cameras densified along an
+    interpolated path, targets rendered per-view, held-out split evaled."""
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy="default",
+        data="npz",
+        result_dir=str(tmp_path / "out"),
+        max_steps=3,
+        batch_size=2,
+        sh_degree=0,
+        isect_capacity=1 << 14,
+        capacity=512,
+        refine_every=100,
+        eval_every=3,
+        save_every=3,
+        npz_traj_views=12,
+        npz_eval_every=4,
+    )
+    runner = Runner(cfg)
+    assert len(runner.train_views) + len(runner.eval_views) == 12
+    assert len(runner.eval_views) == 3
+    params, alive = runner.train()
+    assert np.isfinite(np.asarray(params["means"])).all()
+    import json
+
+    stats = [
+        json.loads(line)
+        for line in open(tmp_path / "out" / "stats.jsonl")
+    ]
+    assert any(s["tag"] == "heldout" for s in stats)
