@@ -138,24 +138,60 @@ def _decompress_png_16bit(
 
 
 def _kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0):
-    """Lloyd K-means with subsampled init (torchpq replacement)."""
+    """Lloyd K-means, jitted jnp (torchpq replacement, chip-speed).
+
+    The assignment distance |x - c|^2 = |x|^2 - 2 x c^T + |c|^2 is one
+    matmul per chunk (MXU-friendly); the center update is a segment-sum.
+    Runs on whatever backend is active (TPU at garden scale, CPU in CI).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    k = min(k, n)
     rng = np.random.default_rng(seed)
-    k = min(k, x.shape[0])
-    centers = x[rng.choice(x.shape[0], k, replace=False)].copy()
-    labels = np.zeros(x.shape[0], np.int64)
+    centers0 = x[rng.choice(n, k, replace=False)].astype(np.float32)
+
+    CH = 4096  # chunk rows so the (CH, k) distance block fits on device
+    n_pad = -(-n // CH) * CH
+    xp = np.zeros((n_pad, x.shape[1]), np.float32)
+    xp[:n] = x
+    xj = jnp.asarray(xp)
+    valid = jnp.arange(n_pad) < n
+
+    @jax.jit
+    def step(centers):
+        c2 = jnp.sum(centers**2, axis=-1)
+
+        def lab_chunk(xb):
+            d = c2[None, :] - 2.0 * (xb @ centers.T)
+            return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        labels = jax.lax.map(
+            lab_chunk, xj.reshape(-1, CH, xj.shape[1])
+        ).reshape(-1)
+        lab_eff = jnp.where(valid, labels, k)  # pad rows -> dropped bucket
+        sums = jax.ops.segment_sum(
+            jnp.where(valid[:, None], xj, 0.0), lab_eff, num_segments=k + 1
+        )[:k]
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.float32), lab_eff, num_segments=k + 1
+        )[:k]
+        new = jnp.where(
+            (counts > 0)[:, None],
+            sums / jnp.maximum(counts, 1.0)[:, None],
+            centers,
+        )
+        return new, labels
+
+    centers = jnp.asarray(centers0)
+    labels = None
     for _ in range(iters):
-        # |x - c|^2 = |x|^2 - 2 x c^T + |c|^2 (matmul form, chunked)
-        c2 = (centers**2).sum(-1)
-        for i in range(0, x.shape[0], 65536):
-            xb = x[i : i + 65536]
-            d = c2[None, :] - 2.0 * xb @ centers.T
-            labels[i : i + 65536] = d.argmin(1)
-        sums = np.zeros_like(centers)
-        np.add.at(sums, labels, x)
-        counts = np.bincount(labels, minlength=k).astype(np.float32)
-        nz = counts > 0
-        centers[nz] = sums[nz] / counts[nz, None]
-    return centers, labels
+        centers, labels = step(centers)
+    return (
+        np.asarray(centers),
+        np.asarray(labels[: n]).astype(np.int64),
+    )
 
 
 def _compress_kmeans(

@@ -55,10 +55,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mxu import dot_01_exact, dot_exact2_faithful, dot_faithful
+from .mxu import (
+    dot_01_exact,
+    dot_exact2_exact3,
+    dot_exact2_faithful,
+    dot_faithful,
+)
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
 CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
+# f32-accumulation tolerance for the expanded conic form (see _chunk_alphas):
+# |error| <= n_terms * max|term| * 2^-24 ~ 1e-3 for the sharpest gaussians
+SIGMA_EPS_NEG = -2e-3
 DEFAULT_CHUNK = CHUNK  # legacy alias (2DGS/eval3d worklists still use it)
 NBUF = 8  # DMA pipeline depth in chunks (compute + early exit are per-chunk)
 TILE = 16  # tile_size for the Pallas path (pixels per side)
@@ -143,11 +151,38 @@ def _tile_pixel_coords(t: jax.Array, tiles_w: int, tiles_per_image: int):
     return px, py, ox, oy
 
 
-def _chunk_alphas(buf, px, py):
+def _sigma_basis(lx: jax.Array, ly: jax.Array) -> jax.Array:
+    """(256, 8) quadratic pixel basis [lx^2, ly^2, lx*ly, lx, ly, 1, 0, 0].
+
+    Tile-LOCAL coordinates (<= 15.5, half-integers): every entry needs
+    <= 10 mantissa bits, so the basis is exactly 2-splittable for the
+    bf16 MXU decomposition in `_chunk_alphas`.  Two zero columns pad the
+    contraction axis to the 8-sublane unit.
+    """
+    ones = jnp.ones_like(lx)
+    zeros = jnp.zeros_like(lx)
+    return jnp.concatenate(
+        [lx * lx, ly * ly, lx * ly, lx, ly, ones, zeros, zeros], axis=1
+    )
+
+
+def _chunk_alphas(buf, basis_sig, ox, oy):
     """Gated alphas (256, L) + intermediates from a staged chunk (F, L).
 
     buf rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..6+D colors.
     Parity: RasterizeToPixels3DGSDevice.cuh:eval_gaussian_weight.
+
+    sigma[p, g] is evaluated as ONE MXU matmul instead of 6 VPU mul-adds
+    over (256, L): expand the quadratic form around the tile origin,
+
+        sigma = 0.5*ca*dx^2 + 0.5*cc*dy^2 + cb*dx*dy
+              = [lx^2, ly^2, lx*ly, lx, ly, 1] . k(g)
+
+    with 6 per-slot coefficients k(g) computed on (1, L) rows (256x less
+    VPU work).  The basis side is exactly 2-splittable and the coefficient
+    side rides an exact 3-split, so all six bf16 cross products are exact
+    and the only rounding is f32 accumulation — the same error class as
+    the scalar VPU evaluation it replaces (ops/mxu.py:dot_exact2_exact3).
     """
     mx = buf[0:1, :]  # (1, L)
     my = buf[1:2, :]
@@ -155,9 +190,25 @@ def _chunk_alphas(buf, px, py):
     cb = buf[3:4, :]
     cc = buf[4:5, :]
     op = buf[5:6, :]
-    dx = mx - px  # (256, L)
-    dy = my - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    mxl = mx - ox  # tile-local gaussian centers (bounded by the tight
+    myl = my - oy  # plan's ellipse reach, so the quadratic terms stay small)
+    k3 = -(ca * mxl + cb * myl)
+    k4 = -(cc * myl + cb * mxl)
+    k5 = 0.5 * (ca * mxl * mxl + cc * myl * myl) + cb * mxl * myl
+    z = jnp.zeros_like(ca)
+    coeffs = jnp.concatenate(
+        [0.5 * ca, 0.5 * cc, cb, k3, k4, k5, z, z], axis=0
+    )  # (8, L)
+    sigma = dot_exact2_exact3(
+        basis_sig, coeffs, dims=(((1,), (0,)), ((), ()))
+    )  # (256, L)
+    # The expanded form cancels to ~0 at gaussian centers, where f32
+    # accumulation noise (~|terms| * 2^-24) can land just below zero —
+    # unlike the factored VPU form, which is a sum of non-negatives there.
+    # Clamp and gate with a matching tolerance so center pixels are never
+    # dropped; truly indefinite conics (the case the reference's sigma < 0
+    # skip targets, RasterizeToPixels3DGSDevice.cuh) are far below -eps.
+    sigma = jnp.where(sigma >= SIGMA_EPS_NEG, jnp.maximum(sigma, 0.0), sigma)
     vis = jnp.exp(-sigma)
     alpha_raw = op * vis
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
@@ -199,10 +250,11 @@ def _fwd_kernel(
     count = count_ref[t]
     n_ch = (head + count + chunk - 1) // chunk
 
-    px, py, _, _ = _tile_pixel_coords(t, tiles_w, tiles_per_image)
+    px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
     in_image = (px <= width) & (py <= height)  # centers are at +0.5
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     color_ref[:] = jnp.zeros_like(color_ref)
+    basis_sig = _sigma_basis(px - ox, py - oy)  # (256, 8), per tile
 
     def dma(c):
         off = pl.multiple_of((base + c) * chunk, chunk)
@@ -234,7 +286,7 @@ def _fwd_kernel(
             valid_row = (g >= head) & (g < head + count)
             buf = jnp.where(valid_row, buf_ref[slot], 0.0)
 
-            alpha, _, _, _, _ = _chunk_alphas(buf, px, py)
+            alpha, _, _, _, _ = _chunk_alphas(buf, basis_sig, ox, oy)
 
             one_m = 1.0 - alpha
             cp_incl = _cumprod_lane(one_m)
@@ -355,6 +407,7 @@ def _bwd_kernel(
     basis = jnp.concatenate(
         [ones, lx, ly, lx * lx, lx * ly, ly * ly], axis=1
     )  # (256, 6) in tile-local coordinates
+    basis_sig = _sigma_basis(lx, ly)  # (256, 8) for the conic matmul
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (F_out, chunk), 1)
 
@@ -427,7 +480,7 @@ def _bwd_kernel(
             lane_valid = (g >= head) & (g < end)
             buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
             alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
-                buf, px, py
+                buf, basis_sig, ox, oy
             )
 
             one_m = 1.0 - alpha
