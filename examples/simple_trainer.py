@@ -743,17 +743,24 @@ class Runner:
         # render in small camera batches so the intersection capacity set
         # for training (batch_size cameras) also bounds target generation
         outs = []
-        for i in range(0, len(self.viewmats), 4):
-            c, _, _ = rasterization(
+        chunk = max(self.cfg.batch_size, 1)
+        for i in range(0, len(self.viewmats), chunk):
+            c, _, meta = rasterization(
                 jnp.asarray(pts), jnp.asarray(quats),
                 jnp.asarray(scales.astype(np.float32)),
                 jnp.full((n,), 0.9, jnp.float32),
                 jnp.asarray(self._full_rgbs),
-                jnp.asarray(self.viewmats[i : i + 4]),
-                jnp.asarray(self.Ks[i : i + 4]),
+                jnp.asarray(self.viewmats[i : i + chunk]),
+                jnp.asarray(self.Ks[i : i + chunk]),
                 self.width, self.height,
                 isect_capacity=self.cfg.isect_capacity,
             )
+            if bool(meta["isect_overflow"]):
+                # truncated targets would silently corrupt the benchmark
+                raise RuntimeError(
+                    f"target render overflowed isect_capacity="
+                    f"{self.cfg.isect_capacity} at views [{i}, {i+chunk})"
+                )
             outs.append(jnp.clip(c, 0.0, 1.0))
         return jnp.concatenate(outs, axis=0)
 
@@ -842,6 +849,10 @@ class Runner:
             colors, _, _ = self.render(
                 self.params, self.alive, vm[i : i + 1], Ks[i : i + 1],
                 sh_degree,
+                # with app_opt, sh0 holds pre-sigmoid logits — rendering
+                # without the appearance head would misread them as SH DC
+                # (reference applies app_module in every render path)
+                app=self.app_params, cam_ids=None,
             )
             img = np.asarray(
                 jnp.clip(colors[0], 0.0, 1.0) * 255.0
@@ -878,6 +889,14 @@ class Runner:
         }
         if self.bil_grids is not None:
             flat["bil_grids"] = np.asarray(self.bil_grids)
+        if self.app_params is not None:
+            # appearance MLP + embeds with their Adam moments (reference
+            # saves app_module.state_dict(), simple_trainer.py:1063-1067)
+            flat["app_opt_count"] = np.asarray(self.app_opt_state.count)
+            for k, v in self.app_params.items():
+                flat[f"app_{k}"] = np.asarray(v)
+                flat[f"amu_{k}"] = np.asarray(self.app_opt_state.mu["app"][k])
+                flat[f"anu_{k}"] = np.asarray(self.app_opt_state.nu["app"][k])
         for k, v in params.items():
             flat[f"p_{k}"] = np.asarray(v)
             flat[f"mu_{k}"] = np.asarray(opt_state.mu[k])
@@ -953,6 +972,20 @@ class Runner:
         if "bil_grids" in d.files:
             self.bil_grids = jnp.asarray(d["bil_grids"])
             self.bil_opt_state = adam_init({"bil": self.bil_grids})
+        if any(k.startswith("app_") for k in d.files):
+            self.app_params = {
+                k[4:]: jnp.asarray(d[k])
+                for k in d.files
+                if k.startswith("app_") and k != "app_opt_count"
+            }
+            amu = {k[4:]: jnp.asarray(d[k]) for k in d.files
+                   if k.startswith("amu_")}
+            anu = {k[4:]: jnp.asarray(d[k]) for k in d.files
+                   if k.startswith("anu_")}
+            self.app_opt_state = adam_init({"app": self.app_params})._replace(
+                mu={"app": amu}, nu={"app": anu},
+                count=jnp.asarray(d["app_opt_count"]),
+            )
         for k in list(self.strategy_state):
             if f"ss_{k}" in d.files:
                 v = d[f"ss_{k}"]

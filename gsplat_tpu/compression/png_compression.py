@@ -164,7 +164,11 @@ def _kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0):
         c2 = jnp.sum(centers**2, axis=-1)
 
         def lab_chunk(xb):
-            d = c2[None, :] - 2.0 * (xb @ centers.T)
+            # HIGHEST: default TPU matmul precision is bf16, which degrades
+            # cluster assignments vs the exact NumPy path this replaced
+            d = c2[None, :] - 2.0 * jnp.matmul(
+                xb, centers.T, precision=jax.lax.Precision.HIGHEST
+            )
             return jnp.argmin(d, axis=1).astype(jnp.int32)
 
         labels = jax.lax.map(

@@ -305,16 +305,16 @@ def make_tight_plan(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21)
 )
 def _rasterize_core(
-    m2f,  # [E, 2] (original order)
+    m2f,  # [E, 2] (original order; cotangent layout only — fwd reads table_g)
     cnf,  # [E, 3]
     clf,  # [E, D]
     opf,  # [E]
     m2abs,  # [E, 2] absgrad carrier (value unused; cotangent = abs grads)
-    rank,  # [E] compacted destination per original row (a permutation)
-    perm,  # [E] original row per compacted slot (inverse of rank)
+    table_g,  # [F_g, E+W_A] compacted stop-grad render fields (see wrappers)
+    perm,  # [E] original row per compacted slot
     rr_cum_ex, rr_cum_in, rr_geo,  # [row_cap] x2, [4, row_cap] (x0,ty,im,gid)
     win1, win2, n_slots_arr,  # [K], [K], [1]
     gh_bounds,  # [E+1] (compacted space)
@@ -326,23 +326,45 @@ def _rasterize_core(
     n_images: int,
     image_size: Tuple[int, int],
     absgrad: bool,
-    compact: bool = True,
 ):
     out, _ = _core_fwd(
-        m2f, cnf, clf, opf, m2abs, rank, perm,
+        m2f, cnf, clf, opf, m2abs, table_g, perm,
         rr_cum_ex, rr_cum_in, rr_geo,
         win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
-        tile_width, tile_height, n_images, image_size, absgrad, compact,
+        tile_width, tile_height, n_images, image_size, absgrad,
     )
     return out
 
 
+def _build_field_table(g_rows, dummy_i):
+    """Stack compacted render-field rows into the expansion's HBM table.
+
+    Gaussians without coverage may carry NaN/inf fields (e.g. degenerate
+    quats project to NaN conics; the reference never touches culled
+    gaussians either).  They MUST be zeroed here: the one-hot selection
+    matmul multiplies every window entry by 0/1 and sums, and 0 * NaN =
+    NaN would poison every slot whose window contains them.
+
+    The rows arrive already in the plan's compacted (depth) order — they
+    ride the wrapper's single compaction sort, so the custom_vjp core
+    never re-sorts the differentiable fields (the values are identical;
+    the backward returns cotangents through perm).
+    """
+    ok = dummy_i == 0
+    g_rows = [jnp.where(ok, r, 0.0) for r in g_rows]
+    # DMA slices need 8-aligned sublane counts: pad row dims to multiples of 8
+    g_rows += [jnp.zeros_like(g_rows[0])] * (
+        _round_up(len(g_rows), 8) - len(g_rows)
+    )
+    return jnp.stack([_pad_tail(r, W_A, 0.0) for r in g_rows])
+
+
 def _core_fwd(
-    m2f, cnf, clf, opf, m2abs, rank, perm,
+    m2f, cnf, clf, opf, m2abs, table_g, perm,
     rr_cum_ex, rr_cum_in, rr_geo,
     win1, win2, n_slots_arr, gh_bounds, dummy_i,
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, compact=True,
+    absgrad,
 ):
     width, height = image_size
     D = n_channels
@@ -350,34 +372,6 @@ def _core_fwd(
     row_cap = rr_cum_ex.shape[0]
     T = n_images * tile_width * tile_height
     K = cap_total // CH
-
-    # Visibility compaction: permute fields into the plan's compacted order
-    # (payload sort by rank — rank is a permutation, so the unstable 1-key
-    # sort is deterministic).  TPU-fast: a payload sort at E elements beats
-    # any gather/scatter formulation by an order of magnitude.  The
-    # compacted order is DEPTH order (the wrapper sorts by (culled, depth)),
-    # which makes emission order per tile the compositing order.
-    if compact:
-        ops_c = jax.lax.sort(
-            (rank, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
-             cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
-            num_keys=1, is_stable=False,
-        )
-        g_rows = list(ops_c[1:])
-    else:  # inputs already arrive in the plan's (compacted) order
-        g_rows = [m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
-                  cnf[:, 2], opf] + [clf[:, i] for i in range(D)]
-
-    # Gaussians without coverage may carry NaN/inf fields (e.g. degenerate
-    # quats project to NaN conics; the reference never touches culled
-    # gaussians either). They MUST be zeroed here: the one-hot selection
-    # matmul multiplies every window entry by 0/1 and sums, and 0 * NaN =
-    # NaN would poison every slot whose window contains them.
-    ok = dummy_i == 0
-    g_rows = [jnp.where(ok, r, 0.0) for r in g_rows]
-    # DMA slices need 8-aligned sublane counts: pad row dims to multiples of 8
-    g_rows += [jnp.zeros_like(opf)] * (_round_up(len(g_rows), 8) - len(g_rows))
-    table_g = jnp.stack([_pad_tail(r, W_A, 0.0) for r in g_rows])
 
     # row-record geometry table, window-padded
     exh, exl = _hi_lo(rr_cum_ex)
@@ -445,7 +439,7 @@ def _core_fwd(
 
 def _core_bwd(
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, compact, res, cts,
+    absgrad, res, cts,
 ):
     (
         sorted_pad, emis_s, base, heads, counts, live_total, perm,
@@ -513,16 +507,13 @@ def _core_bwd(
         data, positions, n_out=_round_up(E, SEG_SEG), live_rows=Wc
     )  # [F_pad, E_out] in compacted order
 
-    if compact:
-        # un-permute back to the caller's original order (payload sort by
-        # the original index — the exact inverse of the forward compaction)
-        uns = jax.lax.sort(
-            (perm,) + tuple(vg[i, :E] for i in range(Wc)),
-            num_keys=1, is_stable=False,
-        )
-        v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
-    else:
-        v_gauss = jnp.stack([vg[i, :E] for i in range(Wc)], axis=1)
+    # un-permute back to the caller's original order (payload sort by
+    # the original index — the exact inverse of the forward compaction)
+    uns = jax.lax.sort(
+        (perm,) + tuple(vg[i, :E] for i in range(Wc)),
+        num_keys=1, is_stable=False,
+    )
+    v_gauss = jnp.stack(uns[1:], axis=1)  # [E, Wc] original order
 
     v_m2 = v_gauss[:, 0:2]
     v_cn = v_gauss[:, 2:5]
@@ -534,9 +525,10 @@ def _core_bwd(
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     K = cap_total // CH
+    F_g = _round_up(6 + D, 8)
     return (
         v_m2, v_cn, v_cl, v_op, v_m2abs,
-        f0(jnp.zeros((E,), jnp.int32)),
+        jnp.zeros((F_g, E + W_A), jnp.float32),  # table_g (stop-grad input)
         f0(jnp.zeros((E,), jnp.int32)),
         f0(jnp.zeros((row_cap,), jnp.int32)),
         f0(jnp.zeros((row_cap,), jnp.int32)),
@@ -596,7 +588,9 @@ def rasterize_to_pixels(
         row_capacity = isect_capacity // 2
     row_cap = _round_up(max(row_capacity, 1), CH)
 
-    # visibility compaction prep (non-differentiable; one payload sort).
+    # visibility compaction prep (non-differentiable; ONE payload sort
+    # carries every render field — means/conics/opacity AND colors — so the
+    # custom_vjp core never re-sorts; see _build_field_table).
     # Depth is the second key: the compacted order is global front-to-back,
     # so emission order per tile is the compositing order and the big slot
     # sort needs no depth key (tiles are per-image, so a single global
@@ -604,6 +598,7 @@ def rasterize_to_pixels(
     m2_sg = jax.lax.stop_gradient(means2d).reshape(E, 2)
     cn_sg = jax.lax.stop_gradient(conics).reshape(E, 3)
     op_sg = jax.lax.stop_gradient(opacities).reshape(E)
+    cl_sg = jax.lax.stop_gradient(colors).reshape(E, D)
     dep_sg = jax.lax.stop_gradient(depths).reshape(E)
     rad = radii.reshape(E, 2)
     iota = jnp.arange(E, dtype=jnp.int32)
@@ -614,7 +609,7 @@ def rasterize_to_pixels(
     comp = jax.lax.sort(
         (ckey, dep_key, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0],
          rad[:, 1], cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg,
-         iota // N),
+         iota // N) + tuple(cl_sg[:, i] for i in range(D)),
         num_keys=3, is_stable=False,
     )
     perm = comp[2]  # original row per compacted slot
@@ -623,7 +618,6 @@ def rasterize_to_pixels(
     cn_c = jnp.stack([comp[7], comp[8], comp[9]], axis=1)
     op_c = comp[10]
     im_c = comp[11]
-    rank = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)[1]
 
     plan = make_tight_plan(
         m2_c, rad_c, cn_c, op_c, im_c, n_live, I, tile_size, tw, th,
@@ -634,6 +628,12 @@ def rasterize_to_pixels(
         means2d_abs = jnp.zeros((E, 2), means2d.dtype)
 
     rr_geo = jnp.stack([plan.rr_x0, plan.rr_ty, plan.rr_im, plan.rr_gid])
+    dummy_i = plan.dummy.astype(jnp.int32)
+    table_g = _build_field_table(
+        [comp[3], comp[4], comp[7], comp[8], comp[9], comp[10]]
+        + list(comp[12:]),
+        dummy_i,
+    )
 
     # tile masks are applied outside the core: masked tiles must render
     # pure background with zero alpha (Fwd.cu:141-158), which the outer
@@ -644,10 +644,10 @@ def rasterize_to_pixels(
         colors.reshape(E, D),
         opacities.reshape(E),
         means2d_abs.reshape(E, 2),
-        rank, perm,
+        table_g, perm,
         plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
         plan.win1, plan.win2, plan.n_slots,
-        plan.gh_bounds, plan.dummy.astype(jnp.int32),
+        plan.gh_bounds, dummy_i,
         cap_total, D, tw, th, I, (image_width, image_height), absgrad,
     )
 
@@ -731,10 +731,11 @@ def rasterize_to_pixels_packed(
     # contribute, and live rows must be globally front-to-back for the
     # emission-order compositing (see rasterize_to_pixels).  One payload
     # sort establishes both; gradients return in the CALLER's packed
-    # layout via the perm/rank pair.
+    # layout via perm.
     m2_sg = jax.lax.stop_gradient(means2d)
     cn_sg = jax.lax.stop_gradient(conics)
     op_sg = jax.lax.stop_gradient(opacities)
+    cl_sg = jax.lax.stop_gradient(colors)
     dep_sg = jax.lax.stop_gradient(depths)
     rad = radii
     iota = jnp.arange(E, dtype=jnp.int32)
@@ -745,7 +746,7 @@ def rasterize_to_pixels_packed(
     comp = jax.lax.sort(
         (ckey, dep_key, iota, m2_sg[:, 0], m2_sg[:, 1], rad[:, 0],
          rad[:, 1], cn_sg[:, 0], cn_sg[:, 1], cn_sg[:, 2], op_sg,
-         image_ids),
+         image_ids) + tuple(cl_sg[:, i] for i in range(D)),
         num_keys=3, is_stable=False,
     )
     perm = comp[2]
@@ -754,7 +755,6 @@ def rasterize_to_pixels_packed(
     cn_c = jnp.stack([comp[7], comp[8], comp[9]], axis=1)
     op_c = comp[10]
     im_c = comp[11]
-    rank = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)[1]
 
     plan = make_tight_plan(
         m2_c, rad_c, cn_c, op_c, im_c, n_live_c, n_images,
@@ -763,15 +763,21 @@ def rasterize_to_pixels_packed(
     if means2d_abs is None:
         means2d_abs = jnp.zeros((E, 2), means2d.dtype)
     rr_geo = jnp.stack([plan.rr_x0, plan.rr_ty, plan.rr_im, plan.rr_gid])
+    dummy_i = plan.dummy.astype(jnp.int32)
+    table_g = _build_field_table(
+        [comp[3], comp[4], comp[7], comp[8], comp[9], comp[10]]
+        + list(comp[12:]),
+        dummy_i,
+    )
 
     pix_out, t_final = _rasterize_core(
         means2d, conics, colors, opacities, means2d_abs,
-        rank, perm,
+        table_g, perm,
         plan.rr_cum_ex, plan.rr_cum_in, rr_geo,
         plan.win1, plan.win2, plan.n_slots,
-        plan.gh_bounds, plan.dummy.astype(jnp.int32),
+        plan.gh_bounds, dummy_i,
         cap_total, D, tw, th, n_images,
-        (image_width, image_height), absgrad, True,
+        (image_width, image_height), absgrad,
     )
 
     I = n_images

@@ -55,12 +55,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from .mxu import (
     dot_01_exact,
+    dot_01_faithful,
     dot_exact2_exact3,
     dot_exact2_faithful,
     dot_faithful,
 )
+
+# Scan-matmul precision: 3 = exact data 3-split (f32-accumulation class),
+# 2 = faithful 2-split (~2e-5 relative on the scans — far inside the
+# compositing gates; see ops/mxu.py:dot_01_faithful) at 2/3 the MXU cost.
+# Validated against the jnp oracle and the BASELINE garden gate at 2
+# (tests/test_rasterize_pallas.py, tests/test_garden_gate.py).
+SCAN_PASSES = int(_os.environ.get("GSPLAT_TPU_SCAN_PASSES", "2"))
+_dot_01 = dot_01_exact if SCAN_PASSES == 3 else dot_01_faithful
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
 CHUNK = 128  # lane width of one DMA chunk (hard minor-dim constraint)
@@ -103,13 +114,13 @@ def _cumsum_lane(x: jax.Array) -> jax.Array:
     """
     k = x.shape[1]
     if k <= 128:
-        return dot_01_exact(x, _tri_incl(k))
+        return _dot_01(x, _tri_incl(k))
     assert k % 128 == 0
     t128 = _tri_incl(128)
     out = []
     carry = jnp.zeros((x.shape[0], 1), jnp.float32)
     for i in range(k // 128):
-        blk = dot_01_exact(x[:, i * 128 : (i + 1) * 128], t128)
+        blk = _dot_01(x[:, i * 128 : (i + 1) * 128], t128)
         out.append(blk + carry)
         carry = carry + blk[:, 127:128]
     return jnp.concatenate(out, axis=1)

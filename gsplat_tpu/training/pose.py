@@ -85,6 +85,11 @@ def init_appearance(
             k1, (dims[i], dims[i + 1]), jnp.float32, -bound, bound
         )
         params[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
+    # zero-init the color head so the initial appearance adjustment is
+    # exactly zero (reference simple_trainer.py:553-555 zeros the last
+    # layer; without this, step 0 starts with random per-view color shifts)
+    last = len(dims) - 2
+    params[f"w{last}"] = jnp.zeros_like(params[f"w{last}"])
     return params
 
 

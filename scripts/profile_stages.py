@@ -23,9 +23,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from gsplat_tpu.ops import rasterize as rz
 from gsplat_tpu.ops.gather_pallas import CH, LANE, W_A, _hi_lo
-from gsplat_tpu.ops.rasterize_pallas import DEFAULT_CHUNK, TILE, _bwd_call, _fwd_call
+from gsplat_tpu.ops.rasterize_pallas import TILE, _bwd_call, _fwd_call
+from gsplat_tpu.ops.segsum_pallas import PIECE as SEG_PIECE
+from gsplat_tpu.ops.segsum_pallas import SEG as SEG_SEG
+from gsplat_tpu.ops.segsum_pallas import segment_rowsum
 from gsplat_tpu.ops.projection import fully_fused_projection
 from gsplat_tpu.utils.data import load_test_data
+
+CHUNK = rz.RASTER_CHUNK
 
 
 def _sync(out):
@@ -89,8 +94,8 @@ def main():
     rad = radii.reshape(E, 2)
     dep = depths.reshape(E)
 
-    # --- compaction sort (depth-ordered) ---
-    def compact(m2, cn, op, rad, dep):
+    # --- compaction sort (single sort incl. colors, no rank) ---
+    def compact(m2, cn, op, cl, rad, dep):
         iota = jnp.arange(E, dtype=jnp.int32)
         alive = (rad > 0).all(axis=-1)
         n_live = jnp.sum(alive.astype(jnp.int32))
@@ -98,14 +103,15 @@ def main():
         dep_key = jnp.where(alive, dep, jnp.inf)
         comp = jax.lax.sort(
             (ckey, dep_key, iota, m2[:, 0], m2[:, 1], rad[:, 0], rad[:, 1],
-             cn[:, 0], cn[:, 1], cn[:, 2], op, iota // N),
+             cn[:, 0], cn[:, 1], cn[:, 2], op, iota // N)
+            + tuple(cl[:, i] for i in range(D)),
             num_keys=3, is_stable=False,
         )
-        rank = jax.lax.sort((comp[2], iota), num_keys=1, is_stable=False)[1]
-        return comp, rank, n_live
+        return comp, n_live
 
-    comp, rank, n_live = timeit(
-        "compaction sorts (2x at E)", jax.jit(compact), m2, cn, op, rad, dep
+    comp, n_live = timeit(
+        "compaction sort (15 ops at E)", jax.jit(compact),
+        m2, cn, op, cl, rad, dep,
     )
     perm = comp[2]
     m2_c = jnp.stack([comp[3], comp[4]], axis=1)
@@ -133,22 +139,15 @@ def main():
     # --- emission (tables + expand_emission2) ---
     from gsplat_tpu.ops.gather_pallas import expand_emission2
 
-    def emit(m2f, cnf, clf, opf, depthf, rank):
-        ops_c = jax.lax.sort(
-            (rank, m2f[:, 0], m2f[:, 1], cnf[:, 0], cnf[:, 1],
-             cnf[:, 2], opf) + tuple(clf[:, i] for i in range(D)),
-            num_keys=1, is_stable=False,
+    def emit(comp, dummy_i, rr_geo, rr_cum_ex, rr_cum_in, win1, win2, n_slots):
+        table_g = rz._build_field_table(
+            [comp[3], comp[4], comp[7], comp[8], comp[9], comp[10]]
+            + list(comp[12:]),
+            dummy_i,
         )
-        g_rows = list(ops_c[1:])
-        ok = dummy_i == 0
-        g_rows = [jnp.where(ok, r, 0.0) for r in g_rows]
-        g_rows += [jnp.zeros_like(depthf)] * (
-            rz._round_up(len(g_rows), 8) - len(g_rows)
-        )
-        table_g = jnp.stack([rz._pad_tail(r, W_A, 0.0) for r in g_rows])
-        exh, exl = _hi_lo(plan.rr_cum_ex)
-        inh, inl = _hi_lo(plan.rr_cum_in)
-        tot_hi, tot_lo = _hi_lo(plan.rr_cum_in[-1:])
+        exh, exl = _hi_lo(rr_cum_ex)
+        inh, inl = _hi_lo(rr_cum_in)
+        tot_hi, tot_lo = _hi_lo(rr_cum_in[-1:])
         pad_hi = jnp.broadcast_to(tot_hi, (W_A,))
         pad_lo = jnp.broadcast_to(tot_lo, (W_A,))
         gidh, gidl = _hi_lo(rr_geo[3])
@@ -166,16 +165,15 @@ def main():
         R = 6 + D
         r_pad = rz._round_up(R + 2, 8)
         return expand_emission2(
-            table_rr, table_g, plan.win1, plan.win2, plan.n_slots,
+            table_rr, table_g, win1, win2, n_slots,
             n_render=R, r_pad=r_pad, tile_w=tw,
             tiles_per_im=tw * th, sentinel=T, k=K,
         )
 
-    clf = cl
-    opf = op
     keys, fields = timeit(
-        "compact-sort + emission tables + expand",
-        jax.jit(emit), m2, cn, clf, opf, dep, rank,
+        "emission tables + expand",
+        jax.jit(emit), comp, dummy_i, rr_geo,
+        plan.rr_cum_ex, plan.rr_cum_in, plan.win1, plan.win2, plan.n_slots,
     )
 
     R = 6 + D
@@ -189,7 +187,7 @@ def main():
         *operands,
     )
 
-    keys_s, flat_s = s[0], s[1]
+    keys_s, emis_s = s[0], s[1]
     srows = list(s[2:])
     srows += [jnp.zeros_like(srows[0])] * (rz._round_up(R, 8) - R)
     sorted_rows = jnp.stack(srows)
@@ -200,14 +198,14 @@ def main():
         ).astype(jnp.int32)
         starts = bounds[:-1]
         counts = bounds[1:] - starts
-        base = starts // DEFAULT_CHUNK
-        heads = starts - base * DEFAULT_CHUNK
+        base = starts // CHUNK
+        heads = starts - base * CHUNK
         return bounds, starts, counts, base, heads
 
     bounds, starts, counts, base, heads = timeit(
         "searchsorted spans", jax.jit(spans), keys_s
     )
-    sorted_pad = jnp.pad(sorted_rows, ((0, 0), (0, 2 * DEFAULT_CHUNK)))
+    sorted_pad = jnp.pad(sorted_rows, ((0, 0), (0, 2 * CHUNK)))
 
     fwd_out = timeit(
         "FWD kernel",
@@ -215,6 +213,7 @@ def main():
             lambda sp, b, h, c: _fwd_call(
                 sp, b, h, c, n_channels=D, tiles_w=tw,
                 tiles_per_image=tw * th, width=W, height=H, n_tiles=T,
+                chunk=CHUNK,
             )
         ),
         sorted_pad, base, heads, counts,
@@ -229,63 +228,66 @@ def main():
             lambda sp, b, h, c, vp, vt, po, tf: _bwd_call(
                 sp, b, h, c, vp, vt, po, tf, n_channels=D, tiles_w=tw,
                 tiles_per_image=tw * th, width=W, height=H, n_tiles=T,
+                chunk=CHUNK,
             )
         ),
         sorted_pad, base, heads, counts, v_pix, v_tf, pix_out, t_final,
     )
     (v_slot,) = bwd_out
 
-    P = flat_s.shape[0]
+    P = emis_s.shape[0]
     live_total = bounds[-1:]
 
-    def reduce_grads(v_slot, flat_s, live_total):
+    def id_sort(v_slot, emis_s, live_total):
         pos = jnp.arange(P, dtype=jnp.int32)
         in_live = pos < live_total[0]
-        ids = jnp.where(in_live, flat_s, rz.ID_SENTINEL)
+        ids = jnp.where(in_live, emis_s, rz.ID_SENTINEL)
         n_rows_grad = 6 + D
-        grads = jnp.where(in_live[None, :], v_slot[:, :P], 0.0)
-        operands = (ids,) + tuple(grads[i] for i in range(n_rows_grad))
-        srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
-        return srt
+        operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_rows_grad))
+        return jax.lax.sort(operands, num_keys=1, is_stable=False)
 
     srt = timeit(
         "BWD ID-SORT (10 ops, 1 key, P)",
-        jax.jit(reduce_grads), v_slot, flat_s, live_total,
+        jax.jit(id_sort), v_slot, emis_s, live_total,
     )
 
-    def reduce_rest(srt):
-        v_rows = jnp.stack(srt[1:], axis=1)
-        Wc = v_rows.shape[1]
-        cs = jnp.concatenate(
-            [jnp.zeros((1, Wc), v_rows.dtype), jnp.cumsum(v_rows, axis=0)],
-            axis=0,
-        )
-        cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), plan.rr_cum_in])
-        gb = cum0[plan.gh_bounds]
+    def seg_reduce(srt, rr_cum_in, gh_bounds, dummy_i, n_slots_arr, perm):
+        rows = list(srt[1:])
+        Wc = len(rows)
+        F_pad = rz._round_up(Wc, 8)
+        rows += [jnp.zeros_like(rows[0])] * (F_pad - Wc)
+        data = jnp.pad(jnp.stack(rows), ((0, 0), (0, 2 * SEG_PIECE)))
+        cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), rr_cum_in])
+        gb = cum0[gh_bounds]
         gcnt = gb[1:] - gb[:-1]
-        n_slots = plan.n_slots[0]
+        n_slots = n_slots_arr[0]
         gvrc = jnp.where(
             dummy_i == 1, 0,
             jnp.clip(jnp.minimum(gb[:-1] + gcnt, n_slots) - gb[:-1], 0, gcnt),
         )
         ends = jnp.cumsum(gvrc).astype(jnp.int32)
         positions = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends])
-        csg = cs[positions]
-        v_gauss = csg[1:] - csg[:-1]
+        vg = segment_rowsum(
+            data, positions, n_out=rz._round_up(E, SEG_SEG), live_rows=Wc
+        )
         uns = jax.lax.sort(
-            (perm,) + tuple(v_gauss[:, i] for i in range(v_gauss.shape[1])),
+            (perm,) + tuple(vg[i, :E] for i in range(Wc)),
             num_keys=1, is_stable=False,
         )
         return jnp.stack(uns[1:], axis=1)
 
-    timeit("cumsum+boundary reduce + unsort", jax.jit(reduce_rest), srt)
+    timeit(
+        "segsum reduce + unsort",
+        jax.jit(seg_reduce), srt, plan.rr_cum_in, plan.gh_bounds, dummy_i,
+        plan.n_slots, perm,
+    )
 
     # --- lax.sort scaling microbench ---
     print("\n--- lax.sort scaling at P =", P, "---", flush=True)
     key1 = keys
     key2 = pos_iota.astype(jnp.float32)
     pay = [fields[i] for i in range(R)]
-    for n_ops, n_keys in [(2, 1), (2, 2), (4, 2), (8, 2), (12, 2), (12, 1)]:
+    for n_ops, n_keys in [(2, 1), (2, 2), (4, 2), (8, 2), (12, 2)]:
         ops = ([key1, key2] + pay)[:n_ops]
         if n_keys == 1:
             ops = [key1] + ops[1:]
@@ -293,9 +295,6 @@ def main():
             lambda *xs: jax.lax.sort(xs, num_keys=n_keys, is_stable=False)
         )
         timeit(f"sort ops={n_ops} keys={n_keys}", f, *ops)
-
-    # int32 vs f32 second key
-    ops = [key1, key2.view(jnp.int32) if hasattr(key2, "view") else key2]
 
 
 if __name__ == "__main__":

@@ -157,11 +157,18 @@ def test_channel_sweep_matches_oracle(D):
         means2d, conics, colors, opac, W, H, radii, depths,
         isect_capacity=8192,
     )
+    # tolerance follows the configured scan-matmul precision: 2-pass
+    # faithful scans (the default; GSPLAT_TPU_SCAN_PASSES) carry ~2**-17 *
+    # sqrt(chunk) relative noise on long transmittance chains (ops/mxu.py:
+    # dot_01_faithful) — ~2e-4 class vs the f32-accumulation-exact 3-pass
+    from gsplat_tpu.ops.rasterize_pallas import SCAN_PASSES
+
+    atol = 5e-5 if SCAN_PASSES >= 3 else 4e-4
     np.testing.assert_allclose(
-        np.asarray(out_c), np.asarray(ref_c), atol=5e-5, rtol=1e-4
+        np.asarray(out_c), np.asarray(ref_c), atol=atol, rtol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out_a), np.asarray(ref_a), atol=5e-5, rtol=1e-4
+        np.asarray(out_a), np.asarray(ref_a), atol=atol, rtol=1e-4
     )
 
 
