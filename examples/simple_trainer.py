@@ -146,6 +146,19 @@ class Config:
     app_embed_dim: int = 16
     app_opt_lr: float = 1e-3
     app_opt_reg: float = 1e-6
+    # TensorBoard logging cadence in steps, 0 = off (reference
+    # simple_trainer.py Config.tb_every / tb_save_image + :1018-1037)
+    tb_every: int = 100
+    tb_save_image: bool = False
+
+
+def _device_mem_gib() -> float:
+    """Device bytes in use, GiB (the jax analog of cuda max_memory)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("bytes_in_use", 0) / 1024**3
+    except Exception:
+        return 0.0
 
 
 def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
@@ -229,6 +242,19 @@ class Runner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
+        self.stats_dir = os.path.join(cfg.result_dir, "stats")
+        os.makedirs(self.stats_dir, exist_ok=True)
+        self.writer = None
+        if cfg.tb_every > 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(
+                    log_dir=os.path.join(cfg.result_dir, "tb")
+                )
+            except ImportError:
+                print("tensorboard unavailable; scalar logs go to "
+                      "stats.jsonl only", flush=True)
 
         if cfg.data == "npz":
             from gsplat_tpu.utils.data import load_test_data
@@ -684,6 +710,31 @@ class Runner:
                     f"n_gs {n_alive} ({time.time()-t0:.0f}s)",
                     flush=True,
                 )
+            if self.writer is not None and step % cfg.tb_every == 0:
+                self.writer.add_scalar("train/loss", float(loss), step)
+                self.writer.add_scalar(
+                    "train/num_GS", int(jnp.sum(alive)), step
+                )
+                self.writer.add_scalar("train/mem", _device_mem_gib(), step)
+                self.writer.add_scalar(
+                    "train/steps_per_sec",
+                    (step - self.start_step + 1) / max(time.time() - t0, 1e-9),
+                    step,
+                )
+                if cfg.tb_save_image:
+                    # side-by-side target | render of the first batch view
+                    colors, _, _ = self.render(
+                        params, alive, vm[:1], ks[:1], sh_degree,
+                        app=app_params, cam_ids=None,
+                    )
+                    canvas = np.concatenate(
+                        [np.asarray(px[0]), np.asarray(colors[0])], axis=1
+                    )
+                    self.writer.add_image(
+                        "train/render", np.clip(canvas, 0, 1), step,
+                        dataformats="HWC",
+                    )
+                self.writer.flush()
             if (step + 1) % cfg.eval_every == 0 or step == cfg.max_steps - 1:
                 self.params, self.alive = params, alive
                 if cfg.bilateral_grid:
@@ -706,6 +757,19 @@ class Runner:
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
                 self.pose_deltas = pose_deltas
                 self._save(step, params, alive, opt_state, state)
+                # mem/time snapshot (reference simple_trainer.py:1038-1052)
+                snap = {
+                    "mem": _device_mem_gib(),
+                    "ellipse_time": time.time() - t0,
+                    "num_GS": int(jnp.sum(alive)),
+                }
+                with open(
+                    os.path.join(
+                        self.stats_dir, f"train_step{step:04d}_rank0.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(snap, f)
 
         self.params, self.opt_state, self.alive = params, opt_state, alive
         self.pose_deltas = pose_deltas
@@ -766,12 +830,26 @@ class Runner:
 
     def eval(self, step, targets, viewmats, Ks, tag="eval", grids=None):
         sh_degree = min(step // self.cfg.sh_degree_interval, self.cfg.sh_degree)
-        colors, _, _ = self.render(
-            self.params, self.alive, viewmats, Ks, sh_degree,
-            # appearance eval uses the zero embedding (reference
-            # simple_trainer.py eval: embed_ids=None)
-            app=self.app_params, cam_ids=None,
-        )
+        # render in training-batch-size view chunks: isect_capacity is sized
+        # for batch_size cameras, and a single all-views render silently
+        # truncates splats once the scene grows (observed as a fake train-
+        # PSNR collapse while held-out eval kept improving)
+        chunk = max(self.cfg.batch_size, 1)
+        outs = []
+        for i in range(0, len(viewmats), chunk):
+            c, _, meta = self.render(
+                self.params, self.alive,
+                viewmats[i : i + chunk], Ks[i : i + chunk], sh_degree,
+                # appearance eval uses the zero embedding (reference
+                # simple_trainer.py eval: embed_ids=None)
+                app=self.app_params, cam_ids=None,
+            )
+            if bool(meta["isect_overflow"]):
+                print(f"WARNING eval[{tag}] @{step}: isect overflow in "
+                      f"views [{i},{i+chunk}) — metrics underestimate",
+                      flush=True)
+            outs.append(c)
+        colors = jnp.concatenate(outs, axis=0)
         if grids is not None:
             # per-view trained color correction (train views only — held-out
             # views have no grid; the reference evals those via color_correct)
@@ -791,6 +869,17 @@ class Runner:
                  "lpips": lp, "n_gs": int(jnp.sum(self.alive))}
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
+        # per-eval JSON + TB scalars (reference simple_trainer.py:1285-1300)
+        with open(
+            os.path.join(self.stats_dir, f"{tag}_step{step:04d}.json"), "w"
+        ) as f:
+            json.dump(stats, f)
+        if self.writer is not None:
+            self.writer.add_scalar(f"{tag}/psnr", psnr, step)
+            self.writer.add_scalar(f"{tag}/ssim", s, step)
+            if lp is not None:
+                self.writer.add_scalar(f"{tag}/lpips", lp, step)
+            self.writer.flush()
         return psnr, s
 
     def render_traj(self, step=None):

@@ -256,12 +256,55 @@ def _decompress_npz(compress_dir, name, meta) -> np.ndarray:
     return np.load(os.path.join(compress_dir, f"{name}.npz"))["arr"]
 
 
-def sort_splats(splats: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Spatial sort for grid locality (PLAS stand-in: Morton order)."""
-    idx = sort_centers(
-        inverse_log_transform(splats["means"]),
-        np.arange(splats["means"].shape[0]),
-    )
+def _unit_normalize(x: np.ndarray) -> np.ndarray:
+    """Per-channel min-max normalization to [0, 1]."""
+    mins = x.min(axis=0)
+    maxs = x.max(axis=0)
+    return (x - mins) / np.where(maxs - mins == 0, 1, maxs - mins)
+
+
+def sort_splats(
+    splats: Dict[str, np.ndarray], method: str = "morton"
+) -> Dict[str, np.ndarray]:
+    """Spatial sort for grid locality.
+
+    method="morton" (default): Morton order of the 3D centers — measured
+    smallest on the garden scene (STANDINS.md).  method="plas":
+    self-organizing grid sort over the concatenated attribute vectors
+    (the reference's PLAS role, sort.py:47-56), warm-started from the
+    Morton order — see compression/plas.py.
+    """
+    n = splats["means"].shape[0]
+    if method == "morton":
+        idx = sort_centers(
+            inverse_log_transform(splats["means"]),
+            np.arange(n),
+        )
+    else:
+        from .plas import plas_sort_indices
+
+        # means dominate compressed size (16-bit planes) and their spatial
+        # coherence is what PNG's predictors exploit — upweight them so the
+        # 11 appearance channels don't outvote the 3 position channels
+        # (measured: equal weights inflate means_u.png ~2.4x vs Morton)
+        keys = [("means", 8.0), ("quats", 1.0), ("scales", 1.0),
+                ("opacities", 1.0), ("sh0", 1.0)]
+        vecs = np.concatenate(
+            [
+                w * _unit_normalize(np.asarray(splats[k]).reshape(n, -1))
+                for k, w in keys
+                if k in splats
+            ],
+            axis=-1,
+        )
+        # warm-start from the Morton order: the annealed swaps inherit its
+        # global position structure and refine appearance-channel locality
+        morton = sort_centers(
+            inverse_log_transform(splats["means"]), np.arange(n)
+        )
+        idx = plas_sort_indices(
+            vecs, int(n**0.5), normalize=False, init_order=morton
+        )
     return {k: v[idx] for k, v in splats.items()}
 
 
@@ -270,6 +313,12 @@ class PngCompression:
     """PNG splat compression. Parity: compression/png_compression.py:31."""
 
     use_sort: bool = True
+    # "morton" | "plas": measured on the garden scene (STANDINS.md), Morton
+    # compresses 4-7% smaller than the jnp PLAS — the annealed-swap PLAS
+    # trades means-plane coherence for appearance-channel locality and the
+    # 16-bit means planes dominate.  PLAS kept for sources whose appearance
+    # channels dominate.
+    sort_method: str = "morton"
     verbose: bool = False
 
     _COMPRESS: Dict[str, Callable] = None  # type: ignore
@@ -311,7 +360,7 @@ class PngCompression:
             splats = {k: v[keep] for k, v in splats.items()}
 
         if self.use_sort:
-            splats = sort_splats(splats)
+            splats = sort_splats(splats, method=self.sort_method)
 
         meta = {}
         for name, value in splats.items():

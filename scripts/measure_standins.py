@@ -51,11 +51,18 @@ def main():
     }
     results = {}
 
-    for use_sort, name in ((True, "morton"), (False, "unsorted")):
+    variants = (
+        (True, "plas", "plas"),
+        (True, "morton", "morton"),
+        (False, "unsorted", "morton"),
+    )
+    for use_sort, name, method in variants:
+        t0 = time.perf_counter()
         with tempfile.TemporaryDirectory() as d:
-            pc = PngCompression(use_sort=use_sort)
+            pc = PngCompression(use_sort=use_sort, sort_method=method)
             pc.compress(d, {k: jnp.asarray(v) for k, v in splats.items()})
             nbytes = dir_bytes(d)
+            sort_s = time.perf_counter() - t0
             out = pc.decompress(d)
         # round-trip render PSNR at 1/4 res
         f = 4
@@ -79,7 +86,11 @@ def main():
         dec = render(out)
         mse = float(jnp.mean((jnp.clip(ref, 0, 1) - jnp.clip(dec, 0, 1)) ** 2))
         psnr = -10.0 * np.log10(max(mse, 1e-12))
-        results[name] = {"bytes": int(nbytes), "roundtrip_psnr": round(psnr, 2)}
+        results[name] = {
+            "bytes": int(nbytes),
+            "roundtrip_psnr": round(psnr, 2),
+            "compress_s": round(sort_s, 1),
+        }
         print(name, results[name], flush=True)
 
     # 2. inference path vs training path FPS (full-res garden subset)
@@ -129,21 +140,38 @@ def main():
     print("inference", results["inference"], flush=True)
 
     with open("STANDINS.md", "w") as f:
+        rows = "".join(
+            f"| {name} | {results[name]['bytes']} | "
+            f"{results[name]['roundtrip_psnr']} dB | "
+            f"{results[name]['compress_s']} s |\n"
+            for name in ("plas", "morton", "unsorted")
+        )
+        plas_vs_mor = 100 * (
+            1 - results["plas"]["bytes"] / results["morton"]["bytes"]
+        )
+        mor_vs_uns = 100 * (
+            1 - results["morton"]["bytes"] / results["unsorted"]["bytes"]
+        )
         f.write(
-            "# Stand-in measurements (VERDICT round 2, item 10)\n\n"
-            "## PngCompression spatial sort: Morton (PLAS stand-in)\n\n"
-            f"| variant | bytes | round-trip PSNR |\n|---|---|---|\n"
-            f"| Morton sort | {results['morton']['bytes']} | "
-            f"{results['morton']['roundtrip_psnr']} dB |\n"
-            f"| no sort | {results['unsorted']['bytes']} | "
-            f"{results['unsorted']['roundtrip_psnr']} dB |\n\n"
+            "# Stand-in measurements (VERDICT item 6)\n\n"
+            "## PngCompression spatial sort: PLAS vs Morton vs none\n\n"
+            "| variant | bytes | round-trip PSNR | compress time |\n"
+            "|---|---|---|---|\n"
+            f"{rows}\n"
             "Quality is sort-independent (quantization dominates); the sort\n"
-            "only buys PNG entropy. Morton recovers "
-            f"{100 * (1 - results['morton']['bytes'] / results['unsorted']['bytes']):.1f}%"
-            " of bytes vs unsorted. PLAS (sort.py:22 in the reference)\n"
-            "optimizes the same objective iteratively; literature gap vs\n"
-            "Morton is ~10-15% additional bytes — decision: keep Morton,\n"
-            "revisit if compressed-size parity becomes a driver gate.\n\n"
+            "only buys PNG entropy. Morton saves "
+            f"{mor_vs_uns:.1f}% of bytes vs unsorted; the jnp PLAS\n"
+            "(annealed pair swaps vs a blurred target, "
+            "`compression/plas.py`,\nrole parity with reference sort.py:22, "
+            "Morton warm-start, means 8x\nupweighted) measures "
+            f"{-plas_vs_mor:.1f}% LARGER than Morton on this scene:\n"
+            "its swaps trade 16-bit means-plane coherence (the dominant\n"
+            "planes) for appearance-channel locality. Sweep that led here:\n"
+            "equal weights 1036K -> means x4 1029K -> +Morton warm-start\n"
+            "1008K -> means x8 1002K vs Morton 960K PNG bytes.\n"
+            "Decision (by the numbers): Morton is the default\n"
+            "(`PngCompression.sort_method`); PLAS stays available for\n"
+            "sources whose appearance channels dominate.\n\n"
             "## render_scene (bf16 packed) vs training-path rasterization\n\n"
             f"| path | ms/frame |\n|---|---|\n"
             f"| rasterization() | {results['inference']['train_path_ms']} |\n"
