@@ -601,6 +601,7 @@ def _expand2_kernel(
     tile_w: int,
     tiles_per_im: int,
     sentinel: int,
+    packed: bool = False,
 ):
     c = pl.program_id(0)
     n_c = pl.num_programs(0)
@@ -680,8 +681,33 @@ def _expand2_kernel(
     sel2 = _sel(win2, hot2)  # (F2, CH)
     fields = sel2[0:n_render] * found.astype(jnp.float32)
 
-    fields_ref[0:n_render, :] = fields
-    R = n_render
+    if packed:
+        # inference fast path: emit TILE-LOCAL coords + bf16-pair rows
+        # (half the sort payload; see rasterize_pallas._unpack_chunk)
+        from .mxu import pack_bf16_pair
+
+        D = n_render - 6
+        fmask = found.astype(jnp.float32)
+        x_loc = fields[0:1] - (tx * 16).astype(jnp.float32) * fmask
+        y_loc = fields[1:2] - (ty * 16).astype(jnp.float32) * fmask
+        rows = [
+            pack_bf16_pair(x_loc, y_loc),
+            pack_bf16_pair(fields[2:3], fields[3:4]),  # (ca, cb)
+            pack_bf16_pair(fields[4:5], fields[5:6]),  # (cc, op)
+        ]
+        for i in range(0, D, 2):
+            hi = fields[6 + i : 7 + i]
+            lo = (
+                fields[7 + i : 8 + i]
+                if i + 1 < D
+                else jnp.zeros_like(hi)
+            )
+            rows.append(pack_bf16_pair(hi, lo))
+        R = len(rows)
+        fields_ref[0:R, :] = jnp.concatenate(rows, axis=0)
+    else:
+        fields_ref[0:n_render, :] = fields
+        R = n_render
     fields_ref[R : R + 1, :] = (key >> 12).astype(jnp.float32)
     fields_ref[R + 1 : R + 2, :] = (key & 0xFFF).astype(jnp.float32)
 
@@ -689,7 +715,7 @@ def _expand2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_render", "r_pad", "tile_w", "tiles_per_im",
-                     "sentinel", "k"),
+                     "sentinel", "k", "packed"),
 )
 def expand_emission2(
     table_rr: jax.Array,  # [9, R_pad] f32 row-record geometry
@@ -704,6 +730,7 @@ def expand_emission2(
     tiles_per_im: int,
     sentinel: int,
     k: int,
+    packed: bool = False,
 ):
     """Two-window emission expansion for the tight-intersection path.
 
@@ -713,7 +740,8 @@ def expand_emission2(
     depth or id rows ride the big sort.
     """
     F2 = table_g.shape[0]
-    assert r_pad >= n_render + 2
+    n_out = (3 + -(-(n_render - 6) // 2)) if packed else n_render
+    assert r_pad >= n_out + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(k,),
@@ -737,6 +765,7 @@ def expand_emission2(
         tile_w=tile_w,
         tiles_per_im=tiles_per_im,
         sentinel=sentinel,
+        packed=packed,
     )
     (fields,) = pl.pallas_call(
         kernel,
@@ -746,6 +775,5 @@ def expand_emission2(
         ],
         interpret=_interpret(),
     )(win1, win2, n_slots, table_rr, table_g)
-    R = n_render
-    key = _recombine(fields[R], fields[R + 1])
+    key = _recombine(fields[n_out], fields[n_out + 1])
     return key, fields

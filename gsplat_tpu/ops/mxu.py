@@ -254,3 +254,83 @@ def dot_exact2_faithful(
     return jax.lax.dot_general(
         ac, bc, dimension_numbers=dims, preferred_element_type=jnp.float32
     )
+
+
+# ---------------------------------------------------------------------------
+# bf16-pair packing (the inference fast path's sort-payload compression)
+# ---------------------------------------------------------------------------
+
+
+def pack_bf16_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Round two f32 arrays to bf16 and pack into one f32-typed carrier.
+
+    The carrier's bits are (bf16(hi) << 16) | bf16(lo) — an opaque payload
+    that rides sorts/DMAs as a single row at half the bytes of its inputs.
+    Rel. error per component ~2**-9 (bf16 rounding): inference-grade only.
+    Works inside Pallas TPU kernels and in plain jnp (same-width bitcasts
+    only, which Mosaic supports).
+    """
+    bc = jax.lax.bitcast_convert_type
+    uh = bc(hi.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    ul = bc(lo.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return bc((uh << 16) | ul, jnp.float32)
+
+
+def unpack_bf16_pair(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of `pack_bf16_pair`: f32 carrier -> (hi f32, lo f32)."""
+    bc = jax.lax.bitcast_convert_type
+    u = bc(packed, jnp.uint32)
+    hi = bc((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = bc((u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def dot_exact2_plain(
+    a: jax.Array, b: jax.Array, dims=(((1,), (0,)), ((), ()))
+) -> jax.Array:
+    """Exact-2-splittable `a` times a bf16-grade `b`: 2 MXU passes.
+
+    For the inference fast path, where `b` is unpacked from bf16 pairs
+    (already ~2**-9): splitting `b` further buys nothing, but the basis
+    side still needs its exact 2-split — its quadratic terms cancel near
+    gaussian centers, and a plain bf16 basis would put an absolute
+    ~2**-9 * max|term| error into the cancellation.
+    """
+    (ka,), (kb,) = dims[0]
+    a1, a2 = split2_fast(a)
+    ac = jnp.concatenate(
+        [a1.astype(jnp.bfloat16).astype(jnp.float32), a2], axis=ka
+    )
+    b16 = b.astype(jnp.bfloat16)
+    bc = jnp.concatenate([b16, b16], axis=kb)
+    return jax.lax.dot_general(
+        ac.astype(jnp.bfloat16), bc,
+        dimension_numbers=dims, preferred_element_type=jnp.float32,
+    )
+
+
+def dot_01_plain(x: jax.Array, m01: jax.Array) -> jax.Array:
+    """Single-pass bf16 scan matmul (inference-grade, ~2**-9 data rounding)."""
+    return jax.lax.dot(
+        x.astype(jnp.bfloat16), m01.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dot_plain_faithful(
+    a: jax.Array, b: jax.Array, dims=(((1,), (1,)), ((), ()))
+) -> jax.Array:
+    """bf16-grade `a` times a faithful-2-split `b`: 2 MXU passes.
+
+    For accumulating bf16-sourced colors against f32 compositing weights:
+    re-rounding the weights to one bf16 would add ~2**-9 relative noise
+    on the weight side; the 2-split keeps it at ~2**-17.
+    """
+    (ka,), (kb,) = dims[0]
+    b1, b2 = split2_fast(b)
+    a16 = a.astype(jnp.bfloat16)
+    ac = jnp.concatenate([a16, a16], axis=ka)
+    bc = jnp.concatenate([b1.astype(jnp.bfloat16), b2], axis=kb)
+    return jax.lax.dot_general(
+        ac, bc, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )

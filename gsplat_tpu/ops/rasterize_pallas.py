@@ -60,9 +60,13 @@ import os as _os
 from .mxu import (
     dot_01_exact,
     dot_01_faithful,
+    dot_01_plain,
     dot_exact2_exact3,
     dot_exact2_faithful,
+    dot_exact2_plain,
     dot_faithful,
+    dot_plain_faithful,
+    unpack_bf16_pair,
 )
 
 # Scan-matmul precision: 3 = exact data 3-split (f32-accumulation class),
@@ -101,7 +105,7 @@ def _tri_incl(k: int) -> jax.Array:
     return (i <= j).astype(jnp.float32)
 
 
-def _cumsum_lane(x: jax.Array) -> jax.Array:
+def _cumsum_lane(x: jax.Array, dot=None) -> jax.Array:
     """Inclusive cumulative sum along axis 1: blocked MXU triangular scan.
 
     Each 128-lane block scans via one exact bf16x3 matmul against T128
@@ -111,22 +115,26 @@ def _cumsum_lane(x: jax.Array) -> jax.Array:
     chunk width — the single full-chunk triangular matmul is quadratic
     (a 256-wide chunk costs 4x a 128-wide one, 512-wide costs 16x), which
     is what previously made wide DMA chunks unaffordable.
+
+    `dot` overrides the scan matmul (the inference fast path passes the
+    single-pass `dot_01_plain`).
     """
+    dot = dot or _dot_01
     k = x.shape[1]
     if k <= 128:
-        return _dot_01(x, _tri_incl(k))
+        return dot(x, _tri_incl(k))
     assert k % 128 == 0
     t128 = _tri_incl(128)
     out = []
     carry = jnp.zeros((x.shape[0], 1), jnp.float32)
     for i in range(k // 128):
-        blk = _dot_01(x[:, i * 128 : (i + 1) * 128], t128)
+        blk = dot(x[:, i * 128 : (i + 1) * 128], t128)
         out.append(blk + carry)
         carry = carry + blk[:, 127:128]
     return jnp.concatenate(out, axis=1)
 
 
-def _cumprod_lane(x: jax.Array) -> jax.Array:
+def _cumprod_lane(x: jax.Array, dot=None) -> jax.Array:
     """Inclusive cumulative product along axis 1 via exp(cumsum(log x)).
 
     Valid for the compositing use-case: x = 1 - alpha in [1 - MAX_ALPHA, 1]
@@ -135,7 +143,7 @@ def _cumprod_lane(x: jax.Array) -> jax.Array:
     MXU; accuracy vs the sequential product is ~1e-6 relative (f32 log/exp
     are sub-ulp, and |sum of logs| <= 128 * |log(0.01)|).
     """
-    return jnp.exp(_cumsum_lane(jnp.log(x)))
+    return jnp.exp(_cumsum_lane(jnp.log(x), dot=dot))
 
 
 def _shift_right_one(x: jax.Array, fill: float) -> jax.Array:
@@ -177,11 +185,37 @@ def _sigma_basis(lx: jax.Array, ly: jax.Array) -> jax.Array:
     )
 
 
-def _chunk_alphas(buf, basis_sig, ox, oy):
+def _unpack_chunk(buf, n_channels: int):
+    """bf16-pair packed chunk (P_rows, L) -> standard row layout (6+D, L).
+
+    Packed rows: 0 = (x_loc, y_loc) TILE-LOCAL coords, 1 = (ca, cb),
+    2 = (cc, op), 3.. = color pairs.  Inverse of the expansion kernel's
+    packed emit (`gather_pallas._expand2_kernel` packed=True).
+    """
+    x, y = unpack_bf16_pair(buf[0:1, :])
+    ca, cb = unpack_bf16_pair(buf[1:2, :])
+    cc, op = unpack_bf16_pair(buf[2:3, :])
+    cols = []
+    for i in range(0, n_channels, 2):
+        c0, c1 = unpack_bf16_pair(buf[3 + i // 2 : 4 + i // 2, :])
+        cols.append(c0)
+        if i + 1 < n_channels:
+            cols.append(c1)
+    return jnp.concatenate([x, y, ca, cb, cc, op] + cols, axis=0)
+
+
+def packed_rows(n_channels: int) -> int:
+    """Sort-payload rows in the packed layout: xy + cacb + ccop + colors."""
+    return 3 + -(-n_channels // 2)
+
+
+def _chunk_alphas(buf, basis_sig, ox, oy, fast: bool = False):
     """Gated alphas (256, L) + intermediates from a staged chunk (F, L).
 
     buf rows: 0:x 1:y 2:conic_a 3:conic_b 4:conic_c 5:opacity 6..6+D colors.
     Parity: RasterizeToPixels3DGSDevice.cuh:eval_gaussian_weight.
+    `fast` drops the coefficient-side exact split (2 MXU passes instead of
+    6) — matched to bf16-grade packed inputs on the inference path.
 
     sigma[p, g] is evaluated as ONE MXU matmul instead of 6 VPU mul-adds
     over (256, L): expand the quadratic form around the tile origin,
@@ -210,7 +244,12 @@ def _chunk_alphas(buf, basis_sig, ox, oy):
     coeffs = jnp.concatenate(
         [0.5 * ca, 0.5 * cc, cb, k3, k4, k5, z, z], axis=0
     )  # (8, L)
-    sigma = dot_exact2_exact3(
+    # fast: faithful 2-split on the coefficient side (4 passes vs 6) —
+    # measured: a plain-bf16 coefficient side re-rounds the large
+    # cancelling k5 terms (~2**-9 * |sigma at tile origin|) and showed up
+    # as ~1% pixel error; the 2-split keeps it at 2**-17.
+    sigma_dot = dot_exact2_faithful if fast else dot_exact2_exact3
+    sigma = sigma_dot(
         basis_sig, coeffs, dims=(((1,), (0,)), ((), ()))
     )  # (256, L)
     # The expanded form cancels to ~0 at gaussian centers, where f32
@@ -219,6 +258,9 @@ def _chunk_alphas(buf, basis_sig, ox, oy):
     # Clamp and gate with a matching tolerance so center pixels are never
     # dropped; truly indefinite conics (the case the reference's sigma < 0
     # skip targets, RasterizeToPixels3DGSDevice.cuh) are far below -eps.
+    # (The fast path's bf16-grade inputs define a nearby valid gaussian
+    # whose coefficients are evaluated just as faithfully — bf16 products
+    # are exact in f32 — so the same tolerance covers both paths.)
     sigma = jnp.where(sigma >= SIGMA_EPS_NEG, jnp.maximum(sigma, 0.0), sigma)
     vis = jnp.exp(-sigma)
     alpha_raw = op * vis
@@ -254,6 +296,7 @@ def _fwd_kernel(
     width: int,
     height: int,
     chunk: int = CHUNK,
+    packed: bool = False,
 ):
     t = pl.program_id(0)
     base = base_ref[t]
@@ -266,6 +309,10 @@ def _fwd_kernel(
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     color_ref[:] = jnp.zeros_like(color_ref)
     basis_sig = _sigma_basis(px - ox, py - oy)  # (256, 8), per tile
+    # packed scans stay at the faithful 2-split: 1-pass bf16 scans round
+    # log-transmittance per element (~2**-9 * 4.6) and measured ~1% pixel
+    # error on deep stacks
+    scan_dot = None
 
     def dma(c):
         off = pl.multiple_of((base + c) * chunk, chunk)
@@ -296,11 +343,18 @@ def _fwd_kernel(
             g = c * chunk + lane_row
             valid_row = (g >= head) & (g < head + count)
             buf = jnp.where(valid_row, buf_ref[slot], 0.0)
-
-            alpha, _, _, _, _ = _chunk_alphas(buf, basis_sig, ox, oy)
+            if packed:
+                # bf16-pair payload with TILE-LOCAL coords (zero bits
+                # unpack to exact zeros, so the lane mask above holds)
+                buf = _unpack_chunk(buf, n_channels)
+                alpha, _, _, _, _ = _chunk_alphas(
+                    buf, basis_sig, 0.0, 0.0, fast=True
+                )
+            else:
+                alpha, _, _, _, _ = _chunk_alphas(buf, basis_sig, ox, oy)
 
             one_m = 1.0 - alpha
-            cp_incl = _cumprod_lane(one_m)
+            cp_incl = _cumprod_lane(one_m, dot=scan_dot)
             cp_excl = _shift_right_one(cp_incl, 1.0)
             t_prev = t_ref[:]  # (256, 1)
             contribute = (t_prev * cp_incl) > TRANSMITTANCE_THRESHOLD
@@ -308,10 +362,14 @@ def _fwd_kernel(
 
             colors = buf[6 : 6 + n_channels, :]  # (D, 128)
             # faithful 3-pass bf16 (vs HIGHEST's 6): per-product error
-            # ~2**-16, f32 accumulation — orders below the gate tolerances
-            acc = dot_faithful(
-                colors, w, dims=(((1,), (1,)), ((), ()))
-            )  # (D, 256)
+            # ~2**-16, f32 accumulation — orders below the gate tolerances.
+            # Packed path: single bf16 pass (inputs are already bf16-grade).
+            cdims = (((1,), (1,)), ((), ()))
+            if packed:
+                # colors are bf16-sourced: split only the weight side
+                acc = dot_plain_faithful(colors, w, dims=cdims)
+            else:
+                acc = dot_faithful(colors, w, dims=cdims)  # (D, 256)
             color_ref[0] += acc
 
             t_new = t_prev * jnp.min(
@@ -651,7 +709,7 @@ def _bwd_kernel(
     jax.jit,
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
-        "width", "height", "n_tiles", "chunk",
+        "width", "height", "n_tiles", "chunk", "packed",
     ),
 )
 def _fwd_call(
@@ -667,6 +725,7 @@ def _fwd_call(
     height: int,
     n_tiles: int,
     chunk: int = CHUNK,
+    packed: bool = False,
 ):
     F = isect_data.shape[0]
     D = n_channels
@@ -692,6 +751,7 @@ def _fwd_call(
         width=width,
         height=height,
         chunk=chunk,
+        packed=packed,
     )
     return pl.pallas_call(
         kernel,

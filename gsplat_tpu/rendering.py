@@ -37,7 +37,7 @@ from .sensors.params import (
     RollingShutterType,
     UnscentedTransformParameters,
 )
-from .ops.rasterize import rasterize_to_pixels
+from .ops.rasterize import rasterize_to_pixels, rasterize_to_pixels_fast
 from .ops.rasterize2d import rasterize_to_pixels_2dgs
 from .ops.rasterize_pallas import DEFAULT_CHUNK, TILE
 from .ops.sh import spherical_harmonics
@@ -153,6 +153,11 @@ def rasterization(
     masks: Optional[jax.Array] = None,  # [..., C, th, tw] bool tile masks
     isect_capacity: Optional[int] = None,
     row_capacity: Optional[int] = None,
+    # Inference fast path: bf16-pair packed sort payload + single-split
+    # kernel matmuls (ops/rasterize.py:rasterize_to_pixels_fast) — no
+    # autodiff, ~2**-9 error class.  The analog of the reference's
+    # no-grad macro-tile renderer (MacroTileRasterize.cu:20-60).
+    fast: bool = False,
     means2d_offset: Optional[jax.Array] = None,  # [..., C, N, 2] grad carrier
     with_ut: bool = False,
     with_eval3d: bool = False,
@@ -509,23 +514,37 @@ def rasterization(
         else:
             m2_render = means2d_f + off  # cotangent = true screen grads
 
-    render_colors, render_alphas, aux = render_projected(
-        m2_render,
-        conics_f,
-        feats_f,
-        op,
-        radii_f,
-        depths_f,
-        width,
-        height,
-        tile_size,
-        isect_capacity,
-        backgrounds=bg_f,
-        masks=masks_f,
-        absgrad=absgrad,
-        means2d_abs=m2_abs,
-        row_capacity=row_capacity,
-    )
+    if fast:
+        if absgrad or masks_f is not None:
+            raise ValueError(
+                "fast=True is inference-only: absgrad/masks unsupported"
+            )
+        render_colors, render_alphas, aux = rasterize_to_pixels_fast(
+            m2_render, conics_f, feats_f, op, width, height,
+            radii_f, depths_f, isect_capacity,
+            backgrounds=bg_f, tile_size=tile_size,
+            row_capacity=row_capacity,
+        )
+        aux = dict(aux)
+        aux["tiles_per_gauss"] = jnp.zeros((I, N), jnp.int32)
+    else:
+        render_colors, render_alphas, aux = render_projected(
+            m2_render,
+            conics_f,
+            feats_f,
+            op,
+            radii_f,
+            depths_f,
+            width,
+            height,
+            tile_size,
+            isect_capacity,
+            backgrounds=bg_f,
+            masks=masks_f,
+            absgrad=absgrad,
+            means2d_abs=m2_abs,
+            row_capacity=row_capacity,
+        )
 
     if render_mode_has_expected_depth(render_mode):
         depth_ch = render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10)

@@ -182,6 +182,7 @@ def render_scene(
     height: int,
     render_mode: str = "RGB",
     backgrounds=None,
+    fast: bool = True,
     **kwargs,
 ):
     """Inference-only render of a packed scene.
@@ -190,11 +191,15 @@ def render_scene(
     returns (colors [C,H,W,D], alphas [C,H,W,1], meta with
     metadata['render_path']='inference'). Gradients are severed
     (stop_gradient) and params are unpacked bf16->f32 at the boundary.
-    Measured (STANDINS.md): frame time matches the training forward
-    within ~5% — the packed scene halves HBM residency but the Pallas
-    forward kernel (per-chunk saturation early-exit) is already the fast
-    path, so this entry is a MEMORY optimization, not a faster renderer.
+
+    `fast=True` (default) routes the color modes through the bf16-packed
+    no-grad rasterizer (ops/rasterize.py:rasterize_to_pixels_fast — the
+    macro-tile-renderer analog): half the sort payload and single-split
+    kernel matmuls, ~2**-9 pixel error (the packed scene is bf16 anyway).
+    Depth/hit-distance modes fall back to the exact path.
     """
+    if render_mode != "RGB":
+        fast = False  # fast path is color-only
     from ..rendering import rasterization
 
     if not isinstance(scene, GaussianInferenceScene):
@@ -228,6 +233,7 @@ def render_scene(
         sh_degree=scene.sh_degree,
         render_mode=render_mode,
         backgrounds=backgrounds,
+        fast=fast,
         **kwargs,
     )
     meta["render_path"] = "inference"
