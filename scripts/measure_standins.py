@@ -139,7 +139,7 @@ def main():
     }
     print("inference", results["inference"], flush=True)
 
-    with open("STANDINS.md", "w") as f:
+    with open("STANDINS_raw.md", "w") as f:  # curated copy: STANDINS.md
         rows = "".join(
             f"| {name} | {results[name]['bytes']} | "
             f"{results[name]['roundtrip_psnr']} dB | "
