@@ -15,7 +15,11 @@ from jax.sharding import Mesh
 from gsplat_tpu.parallel import rasterization_sharded
 from gsplat_tpu.rendering import rasterization
 
-W, H = 48, 32
+# Sized for a ONE-core host running 8 virtual devices in interpret mode:
+# 2x1 tiles x 8 cameras x 8 shards already exercises every code path
+# (multi-tile spans, ragged exchange, per-camera shards); doubling the
+# resolution was measured at ~3x the wall time with no added coverage.
+W, H = 32, 16
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +31,7 @@ def mesh():
 @pytest.fixture(scope="module")
 def scene():
     rng = np.random.default_rng(11)
-    N, C = 160, 8  # both divisible by 8 (mesh axis)
+    N, C = 96, 8  # both divisible by 8 (mesh axis)
     means = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
     means[:, 2] = rng.uniform(2, 8, N)
     quats = rng.standard_normal((N, 4)).astype(np.float32)
