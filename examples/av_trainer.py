@@ -101,6 +101,66 @@ def synthetic_scene(seed=0, n_cams=3, W=96, H=64):
     )
 
 
+def ncore_scene(
+    source,
+    camera_ids=None,
+    factor: float = 1.0,
+    max_frames: int = 8,
+    max_points: int = 100_000,
+):
+    """Build the AV training scene from an NCore v4 sequence.
+
+    `source` is a meta-json path (opens via the ncore SDK) or an
+    in-memory SequenceSource (examples/datasets/ncore.py).  Gaussians
+    init from the lidar cloud; targets are the real camera frames.
+    Reference analog: av_trainer.py consuming NCoreParser/NCoreDataset.
+    """
+    from datasets.ncore import NCoreDataset, NCoreParser
+
+    parser = NCoreParser(
+        source,
+        factor=factor,
+        camera_ids=camera_ids,
+        max_lidar_points=max_points,
+        normalize_world_space=False,
+    )
+    ds = NCoreDataset(parser, split="train")
+    n = min(len(ds), max_frames)
+    items = [ds[i] for i in range(n)]
+    # w2c from c2w (rigid inverse)
+    viewmats = []
+    for it in items:
+        c2w = it["camtoworld"].astype(np.float64)
+        w2c = np.eye(4)
+        w2c[:3, :3] = c2w[:3, :3].T
+        w2c[:3, 3] = -c2w[:3, :3].T @ c2w[:3, 3]
+        viewmats.append(w2c.astype(np.float32))
+    cid0 = parser.camera_ids[0]
+    W, H = parser.imsize_dict[cid0]
+    pts = parser.points
+    rgb = (
+        parser.points_rgb.astype(np.float32) / 255.0
+        if len(parser.points_rgb)
+        else np.full((len(pts), 3), 0.5, np.float32)
+    )
+    return dict(
+        points=pts.astype(np.float32),
+        rgb=np.clip(rgb, 1e-3, 1 - 1e-3),
+        viewmats=np.stack(viewmats),
+        Ks=np.stack([it["K"] for it in items]),
+        W=W, H=H,
+        images=np.stack([it["image"] for it in items]),
+        masks=(
+            np.stack([it["mask"] for it in items])
+            if "mask" in items[0]
+            else None
+        ),
+        lidar=None,  # photometric-only: range images not in the protocol
+        lidar_viewmats=None,
+        parser=parser,
+    )
+
+
 class AVRunner:
     def __init__(self, cfg: Config, scene):
         self.cfg = cfg
@@ -163,48 +223,75 @@ class AVRunner:
         )
 
     def make_targets(self):
-        """Ground truth from the initial (true) scene state — the demo/test
-        regime; real runs read targets from the npz."""
-        cams = jnp.asarray(self.scene["viewmats"])
-        Ks = jnp.asarray(self.scene["Ks"])
-        imgs, _, _ = self.render_cams(self.params, self.alive, cams, Ks)
+        """Camera + lidar ground truth.
+
+        Real datasets (ncore/npz) supply camera frames directly; the
+        synthetic regime renders them from the initial (true) state.
+        Lidar targets only exist when the scene carries a lidar model.
+        """
+        if self.scene.get("images") is not None:
+            imgs = np.asarray(self.scene["images"], np.float32)
+        else:
+            cams = jnp.asarray(self.scene["viewmats"])
+            Ks = jnp.asarray(self.scene["Ks"])
+            out, _, _ = self.render_cams(self.params, self.alive, cams, Ks)
+            imgs = jax.device_get(out)
+        if self.scene.get("lidar") is None:
+            return imgs, None, None
         lvm = jnp.asarray(self.scene["lidar_viewmats"])
         lr_img, lr_alpha, _ = self.render_lidar(self.params, self.alive, lvm)
         gt_dist = lr_img[..., -1:]
         valid = lr_alpha > 0.5
-        return jax.device_get(imgs), jax.device_get(gt_dist), jax.device_get(valid)
+        return imgs, jax.device_get(gt_dist), jax.device_get(valid)
 
     def train(self):
         cfg = self.cfg
         cams = jnp.asarray(self.scene["viewmats"])
         Ks = jnp.asarray(self.scene["Ks"])
-        lvm = jnp.asarray(self.scene["lidar_viewmats"])
+        has_lidar = self.scene.get("lidar") is not None
+        lvm = (
+            jnp.asarray(self.scene["lidar_viewmats"]) if has_lidar else None
+        )
         gt_imgs, gt_dist, gt_valid = self.make_targets()
         gt_imgs = jnp.asarray(gt_imgs)
-        gt_dist = jnp.asarray(gt_dist)
-        gt_valid = jnp.asarray(gt_valid)
-        bg_mask = ~gt_valid
-
-        # perturb away from the truth so training has work to do
-        k1, self.key = jax.random.split(self.key)
-        self.params["means"] = self.params["means"] + 0.05 * jax.random.normal(
-            k1, self.params["means"].shape
+        if has_lidar:
+            gt_dist = jnp.asarray(gt_dist)
+            gt_valid = jnp.asarray(gt_valid)
+            bg_mask = ~gt_valid
+        pix_mask = (
+            jnp.asarray(self.scene["masks"])[..., None].astype(jnp.float32)
+            if self.scene.get("masks") is not None
+            else None
         )
+
+        if self.scene.get("images") is None:
+            # synthetic regime: perturb away from the truth so training
+            # has work to do
+            k1, self.key = jax.random.split(self.key)
+            self.params["means"] = self.params[
+                "means"
+            ] + 0.05 * jax.random.normal(k1, self.params["means"].shape)
 
         @jax.jit
         def train_step(params, opt_state, alive):
             def loss_fn(p):
                 colors, _, meta = self.render_cams(p, alive, cams, Ks)
                 colors = jnp.clip(colors, 0.0, 1.0)
-                loss = l1_loss(colors, gt_imgs) * (1 - cfg.ssim_lambda)
-                loss += ssim_loss(colors, gt_imgs) * cfg.ssim_lambda
-                li, la, _ = self.render_lidar(p, alive, lvm)
-                loss += cfg.lidar_distance_lambda * lidar_distance_loss(
-                    li[..., -1:], gt_dist, gt_valid
-                )
-                loss += cfg.lidar_background_lambda * lidar_background_loss(
-                    la, bg_mask
-                )
+                tgt = gt_imgs
+                if pix_mask is not None:
+                    colors = colors * pix_mask
+                    tgt = tgt * pix_mask
+                loss = l1_loss(colors, tgt) * (1 - cfg.ssim_lambda)
+                loss += ssim_loss(colors, tgt) * cfg.ssim_lambda
+                if has_lidar:
+                    li, la, _ = self.render_lidar(p, alive, lvm)
+                    loss += cfg.lidar_distance_lambda * lidar_distance_loss(
+                        li[..., -1:], gt_dist, gt_valid
+                    )
+                    loss += (
+                        cfg.lidar_background_lambda
+                        * lidar_background_loss(la, bg_mask)
+                    )
                 return loss, meta["radii"]
 
             (loss, radii), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -230,7 +317,13 @@ class AVRunner:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default="synthetic")
+    ap.add_argument("--data", default="synthetic",
+                    help="synthetic | ncore")
+    ap.add_argument("--ncore-meta", default="",
+                    help="NCore v4 sequence meta-json (for --data ncore)")
+    ap.add_argument("--cameras", default="",
+                    help="comma-separated NCore camera ids")
+    ap.add_argument("--factor", type=float, default=1.0)
     ap.add_argument("--max-steps", type=int, default=500)
     ap.add_argument("--result-dir", default="/tmp/av_trainer")
     args = ap.parse_args()
@@ -239,8 +332,18 @@ def main():
     )
     if cfg.data == "synthetic":
         scene = synthetic_scene()
+    elif cfg.data == "ncore":
+        if not args.ncore_meta:
+            raise SystemExit("--data ncore requires --ncore-meta <path>")
+        scene = ncore_scene(
+            args.ncore_meta,
+            camera_ids=(
+                args.cameras.split(",") if args.cameras else None
+            ),
+            factor=args.factor,
+        )
     else:
-        raise SystemExit("only --data synthetic is wired in this example")
+        raise SystemExit("unknown --data (synthetic | ncore)")
     runner = AVRunner(cfg, scene)
     losses = runner.train()
     assert losses[-1] <= losses[0], "loss did not decrease"

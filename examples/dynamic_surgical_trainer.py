@@ -90,12 +90,106 @@ def synthetic_dynamic_scene(cfg: Config):
     )
 
 
+def endonerf_scene(cfg: Config, data_dir: str, factor: int = 4,
+                   max_frames: int = 6):
+    """Real surgical data: EndoNeRF frames + depth-unprojected init.
+
+    The G-SHARP data recipe (reference dynamic_surgical_trainer consuming
+    endo_loader): gaussians init by unprojecting frame-0 depth through K
+    at tissue pixels; every gaussian is dynamic; per-frame tissue masks
+    gate the photometric loss (tool pixels excluded).
+    """
+    from PIL import Image
+
+    from datasets.endonerf import EndoNeRFDataset, EndoNeRFParser
+
+    parser = EndoNeRFParser(data_dir)
+    ds = EndoNeRFDataset(parser, split="video")
+    n_t = min(len(ds), max_frames)
+    W, H = parser.width // factor, parser.height // factor
+    K = parser.K.copy()
+    K[:2] /= factor
+
+    imgs, masks, viewmats, times = [], [], [], []
+    depth0 = None
+    for i in range(n_t):
+        it = ds[i]
+        img = np.asarray(
+            Image.fromarray(
+                (it["image"] * 255).astype(np.uint8)
+            ).resize((W, H), Image.BILINEAR),
+            np.float32,
+        ) / 255.0
+        m = np.asarray(
+            Image.fromarray((it["mask"] * 255).astype(np.uint8)).resize(
+                (W, H), Image.NEAREST
+            ),
+            np.float32,
+        ) / 255.0
+        imgs.append(img)
+        masks.append(m)
+        times.append(float(it["time"]))
+        c2w = it["camtoworld"].astype(np.float64)
+        w2c = np.eye(4)
+        w2c[:3, :3] = c2w[:3, :3].T
+        w2c[:3, 3] = -c2w[:3, :3].T @ c2w[:3, 3]
+        viewmats.append(w2c.astype(np.float32))
+        if i == 0:
+            depth0 = np.asarray(
+                Image.fromarray(it["depth"]).resize((W, H), Image.NEAREST),
+                np.float32,
+            )
+
+    # init points: unproject frame-0 depth at valid tissue pixels
+    yy, xx = np.mgrid[0:H, 0:W]
+    valid = (depth0 > 0) & (masks[0] > 0.5)
+    z = depth0[valid]
+    x = (xx[valid] + 0.5 - K[0, 2]) / K[0, 0] * z
+    y = (yy[valid] + 0.5 - K[1, 2]) / K[1, 1] * z
+    cam_pts = np.stack([x, y, z], -1)
+    c2w0 = ds[0]["camtoworld"].astype(np.float64)
+    pts = cam_pts @ c2w0[:3, :3].T + c2w0[:3, 3]
+    rgb = imgs[0][valid]
+    keep = np.random.default_rng(cfg.seed).choice(
+        len(pts), min(len(pts), cfg.cap * 3 // 4), replace=False
+    )
+    cfg.W, cfg.H, cfg.n_times = W, H, n_t
+    return dict(
+        points=pts[keep].astype(np.float32),
+        # ~2-pixel screen footprint at the observed depth
+        scale0=np.maximum(2.0 * z[keep] / K[0, 0], 1e-4).astype(np.float32),
+        rgb=np.clip(rgb[keep].astype(np.float32), 1e-3, 1 - 1e-3),
+        dyn_mask=np.ones(len(keep), bool),  # the whole tissue deforms
+        viewmats=np.stack(viewmats)[:, None],  # [T, 1, 4, 4]
+        Ks=np.tile(K[None], (1, 1, 1)),
+        times=np.asarray(times, np.float32),
+        gt=np.stack(imgs)[:, None],  # [T, 1, H, W, 3]
+        masks=np.stack(masks)[:, None, :, :, None],  # [T, 1, H, W, 1]
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-steps", type=int, default=300)
+    ap.add_argument("--data", default="synthetic",
+                    help="synthetic | endonerf")
+    ap.add_argument("--data_dir", default="")
+    ap.add_argument("--factor", type=int, default=4)
     args = ap.parse_args()
     cfg = Config(max_steps=args.max_steps)
-    scene = synthetic_dynamic_scene(cfg)
+    if args.data == "endonerf":
+        if not args.data_dir:
+            raise SystemExit("--data endonerf requires --data_dir")
+        scene = endonerf_scene(cfg, args.data_dir, factor=args.factor)
+    else:
+        scene = synthetic_dynamic_scene(cfg)
+    losses = run_training(cfg, scene)
+    if args.data == "synthetic":
+        # the demo regime must recover the known displaced scene
+        assert losses[-1] < losses[0], "loss did not decrease"
+
+
+def run_training(cfg: Config, scene):
     cap = cfg.cap
     n0 = len(scene["points"])
     rng = np.random.default_rng(cfg.seed)
@@ -107,7 +201,16 @@ def main():
 
     params = dict(
         means=pad(scene["points"]),
-        scales=pad(np.full((n0, 3), np.log(0.06), np.float32)),
+        scales=pad(
+            np.log(
+                np.broadcast_to(
+                    np.asarray(
+                        scene.get("scale0", 0.06), np.float32
+                    ).reshape(-1, 1),
+                    (n0, 3),
+                )
+            ).astype(np.float32)
+        ),
         quats=pad(np.tile([1.0, 0, 0, 0], (n0, 1))),
         opacities=pad(np.full(n0, 1.5, np.float32), fill=-10.0),
         colors=pad(np.log(scene["rgb"] / (1 - scene["rgb"] + 1e-6))),
@@ -134,11 +237,15 @@ def main():
     opt_hex = adam_init(hex_train)
     opt_deform = adam_init(deform_params)
 
-    viewmats = jnp.asarray(scene["viewmats"])
     Ks = jnp.asarray(scene["Ks"])
     W, H = cfg.W, cfg.H
+    # [T, C, 4, 4] per-time camera set (synthetic: same cams every t)
+    vm = np.asarray(scene["viewmats"])
+    if vm.ndim == 3:
+        vm = np.tile(vm[None], (cfg.n_times, 1, 1, 1))
+    viewmats_t = jnp.asarray(vm)
 
-    def render(p, t, hex_tr, def_p):
+    def render(p, t, viewmats, hex_tr, def_p):
         # deformation routing: HexPlane features at (xyz, t) -> deltas,
         # applied only where dyn_mask (static gaussians bypass the net)
         hp = dict(hex_params)
@@ -161,19 +268,31 @@ def main():
             isect_capacity=1 << 18,
         )
 
-    # ground-truth frames: render the TRUE displaced scenes (demo regime)
-    gt = []
-    for t in scene["times"]:
-        p_true = dict(params)
-        p_true["means"] = pad(scene["displaced"](float(t)))
-        img, _, _ = rasterization(
-            p_true["means"], params["quats"], jnp.exp(params["scales"]),
-            jnp.where(alive, jax.nn.sigmoid(params["opacities"]), 0.0),
-            jax.nn.sigmoid(params["colors"]), viewmats, Ks, W, H,
-            isect_capacity=1 << 18,
+    from gsplat_tpu.losses import masked_l1, masked_ssim
+
+    if scene.get("gt") is not None:
+        # real data: camera frames are the targets
+        gt = jnp.asarray(scene["gt"])  # [T, C, H, W, 3]
+        loss_masks = (
+            jnp.asarray(scene["masks"])
+            if scene.get("masks") is not None
+            else None
         )
-        gt.append(jax.device_get(img))
-    gt = jnp.asarray(np.stack(gt))  # [T, 1, H, W, 3]
+    else:
+        # demo regime: render the TRUE displaced scenes as targets
+        outs = []
+        for ti, t in enumerate(scene["times"]):
+            p_true = dict(params)
+            p_true["means"] = pad(scene["displaced"](float(t)))
+            img, _, _ = rasterization(
+                p_true["means"], params["quats"], jnp.exp(params["scales"]),
+                jnp.where(alive, jax.nn.sigmoid(params["opacities"]), 0.0),
+                jax.nn.sigmoid(params["colors"]), viewmats_t[ti], Ks, W, H,
+                isect_capacity=1 << 18,
+            )
+            outs.append(jax.device_get(img))
+        gt = jnp.asarray(np.stack(outs))  # [T, 1, H, W, 3]
+        loss_masks = None
 
     lrs_splats = dict(
         means=cfg.lr_splats_means, scales=cfg.lr_splats,
@@ -181,12 +300,23 @@ def main():
     )
 
     @jax.jit
-    def train_step(params, hex_tr, def_p, os_, oh, od, t, gt_img):
+    def train_step(params, hex_tr, def_p, os_, oh, od, t, vm_t, gt_img,
+                   mask_img):
         def loss_fn(p, h, d):
-            img, _, meta = render(p, t, h, d)
+            img, _, meta = render(p, t, vm_t, h, d)
             img = jnp.clip(img, 0, 1)
-            loss = l1_loss(img, gt_img) * (1 - cfg.ssim_lambda)
-            loss += ssim_loss(img, gt_img) * cfg.ssim_lambda
+            if loss_masks is not None:
+                # tissue-include mask: tool pixels excluded from the loss
+                # (G-SHARP masked_l1/masked_ssim, reference losses)
+                loss = masked_l1(img, gt_img, mask_img) * (
+                    1 - cfg.ssim_lambda
+                )
+                loss += (
+                    1.0 - masked_ssim(img, gt_img, mask_img)
+                ) * cfg.ssim_lambda
+            else:
+                loss = l1_loss(img, gt_img) * (1 - cfg.ssim_lambda)
+                loss += ssim_loss(img, gt_img) * cfg.ssim_lambda
             hp = dict(hex_params)
             hp.update(h)
             loss += cfg.lambda_hexplane_reg * hexplane_regularization(hp)
@@ -210,7 +340,9 @@ def main():
         params, hex_train, deform_params, opt_splats, opt_hex, opt_deform, loss = (
             train_step(
                 params, hex_train, deform_params, opt_splats, opt_hex,
-                opt_deform, float(scene["times"][ti]), gt[ti],
+                opt_deform, float(scene["times"][ti]), viewmats_t[ti],
+                gt[ti],
+                loss_masks[ti] if loss_masks is not None else gt[ti][..., :1],
             )
         )
         if step % 50 == 0 or step == cfg.max_steps - 1:
@@ -218,7 +350,7 @@ def main():
             losses.append(l)
             print(f"step {step:5d} t={ti} loss {l:.5f}", flush=True)
     print(f"trained {cfg.max_steps} steps in {time.time()-t0:.1f}s")
-    assert losses[-1] < losses[0], "loss did not decrease"
+    return losses
 
 
 if __name__ == "__main__":

@@ -491,3 +491,44 @@ def test_endonerf_scared_stub(tmp_path):
 
     with pytest.raises(NotImplementedError):
         EndoNeRFParser(str(tmp_path), dataset_type="scared")
+
+
+def test_av_trainer_ncore_path():
+    """The AV trainer consumes an NCore SequenceSource end-to-end
+    (reference: av_trainer on NCoreParser data) — photometric-only,
+    loss decreases over a few steps."""
+    import av_trainer as av
+
+    scene = av.ncore_scene(
+        _FakeSource(), camera_ids=["front"], max_frames=3,
+        max_points=2000,
+    )
+    assert scene["images"].shape[0] == 3
+    assert scene["viewmats"].shape == (3, 4, 4)
+    assert scene["masks"] is not None
+    cfg = av.Config(data="ncore", max_steps=12, cap_max=2048,
+                    isect_capacity=200_000)
+    runner = av.AVRunner(cfg, scene)
+    losses = runner.train()
+    assert losses[-1] <= losses[0]
+
+
+def test_dynamic_surgical_trainer_endonerf_path(tmp_path):
+    """The dynamic trainer consumes a real EndoNeRF directory: depth
+    unprojection init, per-frame masked photometric loss, loss decrease."""
+    import dynamic_surgical_trainer as dst
+
+    _write_endonerf_dir(tmp_path, n=5)
+    cfg = dst.Config(max_steps=10, cap=512)
+    scene = dst.endonerf_scene(cfg, str(tmp_path), factor=1, max_frames=4)
+    assert scene["gt"].shape[0] == 4
+    assert scene["masks"] is not None
+    assert len(scene["points"]) > 0
+    losses = dst.run_training(cfg, scene)
+    # the fixture's frames differ per time in COLOR (which geometric
+    # deformation cannot express) so per-step losses are frame-dependent
+    # and not comparable; the contract here is that the full real-data
+    # path (depth unprojection, per-frame masks, per-time cameras)
+    # executes end-to-end with finite losses (strict decrease is
+    # asserted on the synthetic regime, where targets are renderable)
+    assert all(np.isfinite(l) for l in losses)
