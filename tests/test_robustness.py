@@ -127,7 +127,7 @@ def test_single_gaussian():
     assert bool(jnp.isfinite(out).all())
 
 
-@pytest.mark.parametrize("D", [1, 2, 8, 32])
+@pytest.mark.parametrize("D", [1, 2, 8, 32, 64, 128])
 def test_channel_sweep_matches_oracle(D):
     """Arbitrary channel counts through the Pallas kernels (the analog of
     the reference's GSPLAT_NUM_CHANNELS template sweep, Config.h:28-75 —
