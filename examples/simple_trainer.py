@@ -52,6 +52,7 @@ from gsplat_tpu.training import (
     init_pose_deltas,
     load_lpips_weights,
     lpips,
+    lpips_proxy,
     total_variation_loss,
 )
 
@@ -863,10 +864,16 @@ class Runner:
         lp = None
         if self.lpips_w is not None:
             lp = float(jnp.mean(lpips(colors, targets, self.lpips_w)))
+        # self-contained fixed-random-feature perceptual distance — always
+        # available (no pretrained weights in this environment); NOT
+        # comparable to published LPIPS numbers, hence its own column
+        lp_proxy = float(lpips_proxy(colors, targets))
         print(f"eval[{tag}] @{step}: PSNR {psnr:.2f} SSIM {s:.4f}"
-              + (f" LPIPS {lp:.4f}" if lp is not None else ""), flush=True)
+              + (f" LPIPS {lp:.4f}" if lp is not None else "")
+              + f" LPIPSproxy {lp_proxy:.4f}", flush=True)
         stats = {"step": step, "tag": tag, "psnr": psnr, "ssim": s,
-                 "lpips": lp, "n_gs": int(jnp.sum(self.alive))}
+                 "lpips": lp, "lpips_proxy": lp_proxy,
+                 "n_gs": int(jnp.sum(self.alive))}
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
         # per-eval JSON + TB scalars (reference simple_trainer.py:1285-1300)

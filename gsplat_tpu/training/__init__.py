@@ -5,7 +5,7 @@ from .bilateral_grid import (
     slice_points as bilateral_slice_points,
     total_variation_loss,
 )
-from .metrics import lpips, load_lpips_weights, psnr
+from .metrics import lpips, lpips_proxy, load_lpips_weights, psnr
 from .pose import (
     apply_appearance,
     apply_pose_deltas,
@@ -25,6 +25,7 @@ __all__ = [
     "two_stage_lr",
     "psnr",
     "lpips",
+    "lpips_proxy",
     "load_lpips_weights",
     "init_pose_deltas",
     "apply_pose_deltas",

@@ -89,3 +89,74 @@ def lpips(
         lin = weights[f"lin{j}_w"].reshape(1, 1, 1, -1)  # [C]
         total = total + jnp.mean(jnp.sum(d * lin, axis=-1), axis=(1, 2))
     return total
+
+
+# ---------------------------------------------------------------------------
+# Self-contained perceptual distance (no pretrained weights required)
+# ---------------------------------------------------------------------------
+
+_PROXY_CHANNELS = (32, 64, 128)
+_proxy_weights_cache = {}
+
+
+def _proxy_weights(seed: int = 0):
+    """Fixed-seed random conv stack (VGG-shaped, 3 blocks).
+
+    Randomly initialized CNN features are a known usable perceptual
+    metric (Zhang et al. 2018, Table 5: untrained nets reach ~80% 2AFC
+    vs ~69% for pixel metrics) — weaker than trained LPIPS but
+    self-contained and deterministic.  Used as `lpips_proxy` when no VGG
+    weights file is available (this environment has no egress);
+    reported under its own name, never as LPIPS.
+    """
+    if seed in _proxy_weights_cache:
+        return _proxy_weights_cache[seed]
+    key = jax.random.PRNGKey(seed)
+    ws = []
+    cin = 3
+    for cout in _PROXY_CHANNELS:
+        key, k1 = jax.random.split(key)
+        # He-normal 3x3 kernels, HWIO
+        w = jax.random.normal(k1, (3, 3, cin, cout), jnp.float32)
+        w = w * jnp.sqrt(2.0 / (9 * cin))
+        ws.append(w)
+        cin = cout
+    _proxy_weights_cache[seed] = ws
+    return ws
+
+
+def _proxy_features(x: jax.Array, ws) -> list:
+    taps = []
+    for w in ws:
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.relu(x)
+        taps.append(x)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+    return taps
+
+
+def lpips_proxy(img1: jax.Array, img2: jax.Array, seed: int = 0) -> jax.Array:
+    """Perceptual distance from fixed-random conv features.
+
+    Inputs [.., H, W, 3] in [0, 1].  Per tap: channel-unit-normalize,
+    squared difference, spatial+channel mean; sum over taps — the LPIPS
+    recipe with equal (untrained) head weights.  0 for identical images;
+    grows with structural distortion.  NOT comparable to published LPIPS
+    numbers (report as `lpips_proxy`).
+    """
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    ws = _proxy_weights(seed)
+    x1 = _proxy_features(img1 * 2.0 - 1.0, ws)
+    x2 = _proxy_features(img2 * 2.0 - 1.0, ws)
+    total = 0.0
+    for a, b in zip(x1, x2):
+        na = a / jnp.sqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
+        nb = b / jnp.sqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+        total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1))
+    return total

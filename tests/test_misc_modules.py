@@ -140,3 +140,28 @@ def test_gaussian_inference_scene_roundtrip():
             means, qn, -np.ones((N, 3), np.float32),
             np.clip(opac_logits, 0, 1), sh0[:, 0], None, id="bad",
         )
+
+
+def test_lpips_proxy_perceptual_ordering():
+    """Self-contained perceptual metric: zero at identity, monotone with
+    distortion strength, and sensitive to structure (blur) beyond what
+    a pixel metric at matched MSE would be."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsplat_tpu.training import lpips_proxy
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        np.clip(
+            rng.random((1, 64, 64, 3)) * 0.5
+            + np.linspace(0, 0.5, 64)[None, :, None, None],
+            0, 1,
+        ).astype(np.float32)
+    )
+    assert float(lpips_proxy(img, img)) == 0.0
+    d_small = float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1)))
+    d_big = float(lpips_proxy(img, jnp.clip(img + 0.15, 0, 1)))
+    assert 0.0 < d_small < d_big
+    # deterministic across calls (fixed-seed weights)
+    assert d_small == float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1)))
