@@ -884,6 +884,7 @@ class Runner:
         if self.writer is not None:
             self.writer.add_scalar(f"{tag}/psnr", psnr, step)
             self.writer.add_scalar(f"{tag}/ssim", s, step)
+            self.writer.add_scalar(f"{tag}/lpips_proxy", lp_proxy, step)
             if lp is not None:
                 self.writer.add_scalar(f"{tag}/lpips", lp, step)
             self.writer.flush()
