@@ -44,6 +44,9 @@ from gsplat_tpu.rendering import rasterization
 from gsplat_tpu.strategy import DefaultStrategy, MCMCStrategy
 from gsplat_tpu.training import (
     apply_appearance,
+    apply_ppisp,
+    init_ppisp,
+    ppisp_regularization,
     apply_pose_deltas,
     bilateral_slice_image,
     init_appearance,
@@ -147,6 +150,13 @@ class Config:
     app_embed_dim: int = 16
     app_opt_lr: float = 1e-3
     app_opt_reg: float = 1e-6
+    # learned per-camera ISP applied to train renders before the loss
+    # (reference simple_trainer.py post_processing="ppisp" :231-241;
+    # analog module: gsplat_tpu/training/ppisp.py).  Eval renders skip
+    # the ISP (identity), like other per-view modules.
+    ppisp: bool = False
+    ppisp_lr: float = 1e-3
+    ppisp_reg: float = 1e-3
     # TensorBoard logging cadence in steps, 0 = off (reference
     # simple_trainer.py Config.tb_every / tb_save_image + :1018-1037)
     tb_every: int = 100
@@ -379,6 +389,13 @@ class Runner:
             self.bil_lr = 2e-3 * math.sqrt(cfg.batch_size)
         else:
             self.bil_grids = None
+        if cfg.ppisp:
+            self.ppisp_params = init_ppisp(
+                num_cameras=1, num_frames=n_train
+            )
+            self.ppisp_opt_state = adam_init({"pp": self.ppisp_params})
+        else:
+            self.ppisp_params = None
         if cfg.app_opt:
             # per-view embedding + MLP color head (reference
             # simple_trainer.py:222-228; module: training/pose.py)
@@ -458,10 +475,11 @@ class Runner:
 
         @jax.jit
         def train_step(params, opt_state, alive, viewmats, Ks, pixels,
-                       pose_deltas, cam_ids, bil_grids, app_params):
+                       pose_deltas, cam_ids, bil_grids, app_params,
+                       ppisp_params):
             offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
-            def loss_fn(p, offset, pose, bil, app):
+            def loss_fn(p, offset, pose, bil, app, pp):
                 vm = viewmats
                 if cfg.pose_opt:
                     # adjust camtoworlds by the per-camera deltas, then
@@ -480,6 +498,12 @@ class Runner:
                     colors = jax.vmap(
                         lambda g, im: bilateral_slice_image(g, im)[0]
                     )(bil[cam_ids], colors)
+                if cfg.ppisp:
+                    # learned capture chain on the raw renders (PPISP
+                    # analog; reference simple_trainer.py:578-590)
+                    colors = apply_ppisp(
+                        pp, colors, jnp.zeros_like(cam_ids), cam_ids
+                    )
                 colors = jnp.clip(colors, 0.0, 1.0)
                 loss = l1_loss(colors, pixels) * (1.0 - cfg.ssim_lambda)
                 loss += ssim_loss(colors, pixels) * cfg.ssim_lambda
@@ -498,15 +522,18 @@ class Runner:
                 if cfg.app_opt and cfg.app_opt_reg > 0:
                     # embeds weight decay (reference :609 weight_decay)
                     loss += cfg.app_opt_reg * jnp.sum(app["embeds"] ** 2)
+                if cfg.ppisp and cfg.ppisp_reg > 0:
+                    loss += cfg.ppisp_reg * ppisp_regularization(pp)
                 return loss, (meta["radii"], meta["isect_overflow"])
 
             (loss, (radii, overflow)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
-            )(params, offset0, pose_deltas, bil_grids, app_params)
-            g_params, g_screen, g_pose, g_bil, g_app = grads
+                loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
+            )(params, offset0, pose_deltas, bil_grids, app_params,
+              ppisp_params)
+            g_params, g_screen, g_pose, g_bil, g_app, g_pp = grads
             visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-            return (loss, g_params, g_screen, g_pose, g_bil, g_app, radii,
-                    visibility, overflow)
+            return (loss, g_params, g_screen, g_pose, g_bil, g_app, g_pp,
+                    radii, visibility, overflow)
 
         return train_step
 
@@ -577,6 +604,10 @@ class Runner:
             self.app_params if cfg.app_opt
             else jnp.zeros((1,), jnp.float32)  # unused placeholder
         )
+        ppisp_params = (
+            self.ppisp_params if cfg.ppisp
+            else jnp.zeros((1,), jnp.float32)  # unused placeholder
+        )
         overflow_steps = 0
         if self.pose_perturb is not None:
             # corrupt the training poses (ground truth stays in eval)
@@ -631,10 +662,10 @@ class Runner:
             px = targets[idx]
             cam_ids = jnp.asarray(idx, jnp.int32)
 
-            (loss, g_params, g_screen, g_pose, g_bil, g_app, radii,
+            (loss, g_params, g_screen, g_pose, g_bil, g_app, g_pp, radii,
              visibility, overflow) = train_steps[sh_degree](
                 params, opt_state, alive, vm, ks, px, pose_deltas, cam_ids,
-                bil_grids, app_params,
+                bil_grids, app_params, ppisp_params,
             )
 
             lr_scale = 0.01 ** (step / cfg.max_steps)
@@ -659,6 +690,12 @@ class Runner:
                     self.app_opt_state, {"app": cfg.app_opt_lr},
                 )
                 app_params = ap["app"]
+            if cfg.ppisp:
+                pu, self.ppisp_opt_state = adam_update(
+                    {"pp": ppisp_params}, {"pp": g_pp},
+                    self.ppisp_opt_state, {"pp": cfg.ppisp_lr},
+                )
+                ppisp_params = pu["pp"]
             if step % 100 == 0 and bool(overflow):
                 overflow_steps += 1
                 print(
@@ -742,6 +779,8 @@ class Runner:
                     self.bil_grids = bil_grids
                 if cfg.app_opt:
                     self.app_params = app_params
+                if cfg.ppisp:
+                    self.ppisp_params = ppisp_params
                 if cfg.data == "npz":
                     # train-view PSNR is the benchmark metric (with only
                     # 2 training cameras, held-out generalization
@@ -757,6 +796,14 @@ class Runner:
                               else None)
             if (step + 1) % cfg.save_every == 0 or step == cfg.max_steps - 1:
                 self.pose_deltas = pose_deltas
+                # sync loop-local aux modules so the checkpoint carries the
+                # CURRENT values (they otherwise only sync at eval steps)
+                if cfg.bilateral_grid:
+                    self.bil_grids = bil_grids
+                if cfg.app_opt:
+                    self.app_params = app_params
+                if cfg.ppisp:
+                    self.ppisp_params = ppisp_params
                 self._save(step, params, alive, opt_state, state)
                 # mem/time snapshot (reference simple_trainer.py:1038-1052)
                 snap = {
@@ -776,6 +823,10 @@ class Runner:
         self.pose_deltas = pose_deltas
         if cfg.bilateral_grid:
             self.bil_grids = bil_grids
+        if cfg.app_opt:
+            self.app_params = app_params
+        if cfg.ppisp:
+            self.ppisp_params = ppisp_params
         if overflow_steps:
             print(f"NOTE: {overflow_steps} steps hit isect-capacity overflow",
                   flush=True)
@@ -994,6 +1045,12 @@ class Runner:
                 flat[f"app_{k}"] = np.asarray(v)
                 flat[f"amu_{k}"] = np.asarray(self.app_opt_state.mu["app"][k])
                 flat[f"anu_{k}"] = np.asarray(self.app_opt_state.nu["app"][k])
+        if self.ppisp_params is not None:
+            flat["ppisp_opt_count"] = np.asarray(self.ppisp_opt_state.count)
+            for k, v in self.ppisp_params.items():
+                flat[f"isp_{k}"] = np.asarray(v)
+                flat[f"imu_{k}"] = np.asarray(self.ppisp_opt_state.mu["pp"][k])
+                flat[f"inu_{k}"] = np.asarray(self.ppisp_opt_state.nu["pp"][k])
         for k, v in params.items():
             flat[f"p_{k}"] = np.asarray(v)
             flat[f"mu_{k}"] = np.asarray(opt_state.mu[k])
@@ -1082,6 +1139,21 @@ class Runner:
             self.app_opt_state = adam_init({"app": self.app_params})._replace(
                 mu={"app": amu}, nu={"app": anu},
                 count=jnp.asarray(d["app_opt_count"]),
+            )
+        if any(k.startswith("isp_") for k in d.files):
+            self.ppisp_params = {
+                k[4:]: jnp.asarray(d[k])
+                for k in d.files if k.startswith("isp_")
+            }
+            imu = {k[4:]: jnp.asarray(d[k]) for k in d.files
+                   if k.startswith("imu_")}
+            inu = {k[4:]: jnp.asarray(d[k]) for k in d.files
+                   if k.startswith("inu_")}
+            self.ppisp_opt_state = adam_init(
+                {"pp": self.ppisp_params}
+            )._replace(
+                mu={"pp": imu}, nu={"pp": inu},
+                count=jnp.asarray(d["ppisp_opt_count"]),
             )
         for k in list(self.strategy_state):
             if f"ss_{k}" in d.files:

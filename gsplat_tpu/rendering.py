@@ -158,6 +158,10 @@ def rasterization(
     # autodiff, ~2**-9 error class.  The analog of the reference's
     # no-grad macro-tile renderer (MacroTileRasterize.cu:20-60).
     fast: bool = False,
+    # per-gaussian extra channels composited alongside the colors and
+    # returned in meta["render_extra_signals"] (reference rendering.py:283)
+    extra_signals: Optional[jax.Array] = None,  # [..., (C,) N, E] | [N, K, E]
+    extra_signals_sh_degree: Optional[int] = None,
     means2d_offset: Optional[jax.Array] = None,  # [..., C, N, 2] grad carrier
     with_ut: bool = False,
     with_eval3d: bool = False,
@@ -398,9 +402,40 @@ def rasterization(
                     colors, batch_dims + (C, N, colors.shape[-1])
                 )
             feats_f = feats.reshape(I, N, -1)
+        # extra per-gaussian signals composited with the same weights and
+        # returned separately in meta["render_extra_signals"] (reference
+        # rendering.py:283-345; SH-coded extras share the view directions)
+        n_extra = 0
+        if extra_signals is not None:
+            if extra_signals_sh_degree is not None:
+                campos_e = _campos_from_viewmats(viewmats)
+                dirs_e = means[..., None, :, :] - campos_e[..., None, :]
+                ex = spherical_harmonics(
+                    extra_signals_sh_degree, dirs_e, extra_signals,
+                    masks=(radii > 0).all(axis=-1),
+                )
+                ex = jnp.maximum(ex + 0.5, 0.0)
+                ex_f = ex.reshape(I, N, -1)
+            else:
+                if extra_signals.ndim == len(batch_dims) + 2:  # [..., N, E]
+                    ex = jnp.broadcast_to(
+                        extra_signals[..., None, :, :],
+                        batch_dims + (C, N, extra_signals.shape[-1]),
+                    )
+                else:  # [..., C, N, E]
+                    ex = jnp.broadcast_to(
+                        extra_signals,
+                        batch_dims + (C, N, extra_signals.shape[-1]),
+                    )
+                ex_f = ex.reshape(I, N, -1)
+            n_extra = ex_f.shape[-1]
+            feats_f = jnp.concatenate([feats_f, ex_f], axis=-1)
         if has_depth:
             feats_f = jnp.concatenate([feats_f, depths_f[..., None]], axis=-1)
     else:
+        if extra_signals is not None:
+            raise ValueError("extra_signals require a color render mode")
+        n_extra = 0
         feats_f = depths_f[..., None]
     D_out = feats_f.shape[-1]
 
@@ -483,6 +518,18 @@ def rasterization(
             render_colors = jnp.concatenate(
                 [render_colors[..., :-1], depth_ch], axis=-1
             )
+        render_extra = None
+        if n_extra:
+            Dtot = render_colors.shape[-1]
+            d_col = Dtot - n_extra - (1 if has_depth else 0)
+            render_extra = render_colors[..., d_col : d_col + n_extra]
+            render_colors = jnp.concatenate(
+                [
+                    render_colors[..., :d_col],
+                    render_colors[..., d_col + n_extra :],
+                ],
+                axis=-1,
+            )
         meta = {
             "radii": radii,
             "means2d": means2d,
@@ -503,6 +550,8 @@ def rasterization(
                 batch_dims + (C, N)
             ),
         }
+        if render_extra is not None:
+            meta["render_extra_signals"] = render_extra
         return render_colors, render_alphas, meta
 
     m2_render = means2d_f
@@ -556,6 +605,17 @@ def rasterization(
     render_colors = render_colors.reshape(out_shape + (D_out,))
     render_alphas = render_alphas.reshape(out_shape + (1,))
 
+    render_extra = None
+    if n_extra:
+        # layout is [colors | extras | (depth)]: pull the extras out so
+        # render_colors keeps its documented RGB(+depth) shape
+        d_col = D_out - n_extra - (1 if has_depth else 0)
+        render_extra = render_colors[..., d_col : d_col + n_extra]
+        render_colors = jnp.concatenate(
+            [render_colors[..., :d_col], render_colors[..., d_col + n_extra :]],
+            axis=-1,
+        )
+
     meta = {
         "batch_ids": None,
         "camera_ids": None,
@@ -584,6 +644,8 @@ def rasterization(
         "isect_overflow": aux["isect_overflow"],
         "isect_capacity": isect_capacity,
     }
+    if render_extra is not None:
+        meta["render_extra_signals"] = render_extra
     return render_colors, render_alphas, meta
 
 

@@ -6,6 +6,7 @@ from .bilateral_grid import (
     total_variation_loss,
 )
 from .metrics import lpips, lpips_proxy, load_lpips_weights, psnr
+from .ppisp import apply_ppisp, init_ppisp, ppisp_regularization
 from .pose import (
     apply_appearance,
     apply_pose_deltas,
@@ -26,6 +27,9 @@ __all__ = [
     "psnr",
     "lpips",
     "lpips_proxy",
+    "init_ppisp",
+    "apply_ppisp",
+    "ppisp_regularization",
     "load_lpips_weights",
     "init_pose_deltas",
     "apply_pose_deltas",

@@ -165,3 +165,54 @@ def test_lpips_proxy_perceptual_ordering():
     assert 0.0 < d_small < d_big
     # deterministic across calls (fixed-seed weights)
     assert d_small == float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1)))
+
+
+def test_ppisp_identity_and_stages():
+    """Learned ISP: identity at init, physically-sensible stages,
+    gradients to every parameter group (PPISP analog — reference
+    simple_trainer.py post_processing='ppisp')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsplat_tpu.training import (
+        apply_ppisp,
+        init_ppisp,
+        ppisp_regularization,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0.05, 0.9, (2, 24, 32, 3)).astype(np.float32))
+    cam = jnp.asarray([0, 1])
+    frm = jnp.asarray([0, 3])
+    p = init_ppisp(num_cameras=2, num_frames=4)
+
+    out = apply_ppisp(p, img, cam, frm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+    assert float(ppisp_regularization(p)) == 0.0
+
+    # exposure: +log(2) on frame 3 doubles only the second image
+    p2 = dict(p)
+    p2["exposure"] = p["exposure"].at[3].set(np.log(2.0))
+    out2 = apply_ppisp(p2, img, cam, frm)
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(img[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2[1]), 2 * np.asarray(img[1]), rtol=1e-4)
+
+    # vignetting: corners darker than center for v1 > 0
+    p3 = dict(p)
+    p3["vignette"] = p["vignette"].at[0, 0].set(0.5)
+    out3 = apply_ppisp(p3, img, cam, frm)
+    ratio = np.asarray(out3[0] / jnp.maximum(img[0], 1e-6))
+    assert ratio[0, 0].mean() < ratio[12, 16].mean()
+
+    # gradients reach every parameter group
+    def loss(pp):
+        return jnp.sum(apply_ppisp(pp, img, cam, frm) ** 2)
+
+    g = jax.grad(loss)(p)
+    for k, v in g.items():
+        assert float(jnp.abs(v).sum()) > 0, k
+
+    # single-image convenience shape
+    one = apply_ppisp(p, img[0], 0, 0)
+    assert one.shape == img[0].shape

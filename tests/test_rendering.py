@@ -251,3 +251,55 @@ def test_batched_cameras(scene):
     np.testing.assert_allclose(
         np.asarray(out_c[1]), np.asarray(flat_c), atol=3e-6
     )
+
+
+def test_extra_signals_composited_and_split():
+    """Per-gaussian extra channels ride the same compositing weights and
+    return in meta["render_extra_signals"] (reference rendering.py:283-345:
+    render_colors stays RGB(+depth), extras split out)."""
+    rng = np.random.default_rng(0)
+    N, C, W2, H2 = 80, 2, 48, 32
+    means = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    means = means.at[:, 2].add(5)
+    quats = jnp.asarray(rng.standard_normal((N, 4)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.05, 0.3, (N, 3)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.3, 0.9, N).astype(np.float32))
+    colors = jnp.asarray(rng.random((N, 3)).astype(np.float32))
+    extras = jnp.asarray(rng.random((N, 5)).astype(np.float32))
+    vm = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (C, 1, 1)))
+    Ks = jnp.asarray(np.tile(
+        np.array([[50.0, 0, 24], [0, 50.0, 16], [0, 0, 1]], np.float32),
+        (C, 1, 1),
+    ))
+
+    out, _, meta = rasterization(
+        means, quats, scales, op, colors, vm, Ks, W2, H2,
+        extra_signals=extras, isect_capacity=100_000,
+    )
+    assert out.shape[-1] == 3
+    assert meta["render_extra_signals"].shape == (C, H2, W2, 5)
+    # extras composite exactly like colors would
+    ref, _, _ = rasterization(
+        means, quats, scales, op, extras, vm, Ks, W2, H2,
+        isect_capacity=100_000,
+    )
+    np.testing.assert_allclose(
+        np.asarray(meta["render_extra_signals"]), np.asarray(ref), atol=1e-5
+    )
+    # depth modes keep the depth channel in render_colors, extras separate
+    out3, _, meta3 = rasterization(
+        means, quats, scales, op, colors, vm, Ks, W2, H2,
+        render_mode="RGB+ED", extra_signals=extras, isect_capacity=100_000,
+    )
+    assert out3.shape[-1] == 4
+    assert meta3["render_extra_signals"].shape[-1] == 5
+    # SH-coded extras with their own degree
+    ex_sh = jnp.asarray(
+        (rng.standard_normal((N, 9, 2)) * 0.2).astype(np.float32)
+    )
+    _, _, meta4 = rasterization(
+        means, quats, scales, op, colors, vm, Ks, W2, H2,
+        extra_signals=ex_sh, extra_signals_sh_degree=2,
+        isect_capacity=100_000,
+    )
+    assert meta4["render_extra_signals"].shape[-1] == 2

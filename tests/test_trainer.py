@@ -436,3 +436,60 @@ def test_trainer_npz_traj_views(tiny_npz, tmp_path, monkeypatch):
         for line in open(tmp_path / "out" / "stats.jsonl")
     ]
     assert any(s["tag"] == "heldout" for s in stats)
+
+
+def test_trainer_ppisp_learns_exposure(tiny_npz, tmp_path, monkeypatch):
+    """Learned per-camera ISP absorbs a global exposure shift.
+
+    Parity: reference post_processing="ppisp" (simple_trainer.py:231-241,
+    578-590) — splats frozen, targets are the trainer's own renders at
+    half exposure, so only the ISP parameters can close the gap.
+    """
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from simple_trainer import Config, Runner
+    from gsplat_tpu.training import apply_ppisp
+
+    cfg = Config(
+        strategy="mcmc", data="npz", result_dir=str(tmp_path / "out"),
+        max_steps=40, batch_size=1, sh_degree=0, sh_degree_interval=1000,
+        isect_capacity=1 << 14, cap_max=256, capacity=256,
+        refine_every=1000, eval_every=1000, save_every=1000,
+        ppisp=True, ppisp_lr=5e-2, ppisp_reg=1e-4,
+        means_lr=0.0, scales_lr=0.0, opacities_lr=0.0, quats_lr=0.0,
+        sh0_lr=0.0, shN_lr=0.0,  # only the ISP moves
+    )
+    runner = Runner(cfg)
+    assert runner.ppisp_params is not None
+
+    vm = jnp.asarray(runner.viewmats[runner.train_views])
+    ks = jnp.asarray(runner.Ks[runner.train_views])
+    base, _, _ = runner.render(runner.params, runner.alive, vm, ks, 0)
+    tgt = jnp.clip(base, 0.0, 1.0) * 0.5  # uniformly darker captures
+    runner._make_npz_targets = lambda: tgt
+
+    def err(pp):
+        n = base.shape[0]
+        out = apply_ppisp(
+            pp, jnp.clip(base, 0, 1),
+            jnp.zeros(n, jnp.int32), jnp.arange(n, dtype=jnp.int32),
+        )
+        return float(jnp.mean((jnp.clip(out, 0, 1) - tgt) ** 2))
+
+    e0 = err(runner.ppisp_params)
+    runner.train()
+    e1 = err(runner.ppisp_params)
+    assert e1 < e0 * 0.5, (e0, e1)
+    # exposures moved toward log(0.5)
+    assert float(jnp.mean(runner.ppisp_params["exposure"])) < -0.1
+    # checkpoint round-trips the ISP + its moments
+    ck = [f for f in (tmp_path / "out").iterdir() if "ckpt" in f.name]
+    assert ck
+    r2 = Runner(cfg)
+    r2._load(str(ck[0]))
+    np.testing.assert_allclose(
+        np.asarray(r2.ppisp_params["exposure"]),
+        np.asarray(runner.ppisp_params["exposure"]), atol=1e-6,
+    )
