@@ -493,3 +493,39 @@ def test_trainer_ppisp_learns_exposure(tiny_npz, tmp_path, monkeypatch):
         np.asarray(r2.ppisp_params["exposure"]),
         np.asarray(runner.ppisp_params["exposure"]), atol=1e-6,
     )
+
+
+def test_sample_inference_loads_and_renders(tiny_npz, tmp_path, monkeypatch):
+    """sample_inference: trainer ckpt -> Stage -> orbit renders
+    (reference examples/sample_inference.py:319)."""
+    monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
+    import sys
+
+    from simple_trainer import Config, Runner
+
+    cfg = Config(
+        strategy="mcmc", data="npz", result_dir=str(tmp_path / "out"),
+        max_steps=2, batch_size=1, sh_degree=0, sh_degree_interval=1000,
+        isect_capacity=1 << 14, cap_max=256, capacity=256,
+        refine_every=1000, eval_every=1000, save_every=1000,
+    )
+    Runner(cfg).train()
+    ck = next(f for f in (tmp_path / "out").iterdir() if "ckpt" in f.name)
+
+    import sample_inference as si
+
+    scene = si.load_checkpoint(str(ck))
+    assert scene.num_gaussians > 0
+    out = tmp_path / "views"
+    argv = sys.argv
+    sys.argv = [
+        "x", "--ckpt", str(ck), "--output-dir", str(out),
+        "--n-views", "2", "--width", "64", "--height", "48",
+        "--isect-capacity", str(1 << 14),
+    ]
+    try:
+        si.main()
+    finally:
+        sys.argv = argv
+    views = sorted(out.glob("view_*.png"))
+    assert len(views) == 2
