@@ -75,6 +75,11 @@ from .mxu import (
 # Validated against the jnp oracle and the BASELINE garden gate at 2
 # (tests/test_rasterize_pallas.py, tests/test_garden_gate.py).
 SCAN_PASSES = int(_os.environ.get("GSPLAT_TPU_SCAN_PASSES", "2"))
+# Whole-tile saturation early exit (the analog of the CUDA done-mask
+# break).  It pays a cross-lane max + while_loop carry EVERY chunk to
+# sometimes skip tail chunks; with the tight plan's ~1-2 chunks per tile
+# the trade is measurable in both directions — keep it switchable.
+EARLY_EXIT = _os.environ.get("GSPLAT_TPU_EARLY_EXIT", "1") != "0"
 _dot_01 = dot_01_exact if SCAN_PASSES == 3 else dot_01_faithful
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
@@ -382,28 +387,34 @@ def _fwd_kernel(
             def _():
                 dma(c + NBUF).start()
 
-            return c + 1, jnp.max(t_new)
+            tmax = jnp.max(t_new) if EARLY_EXIT else jnp.float32(1.0)
+            return c + 1, tmax
 
-        def cond(carry):
-            c, tmax = carry
-            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
+        if EARLY_EXIT:
+            def cond(carry):
+                c, tmax = carry
+                return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        c_final, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.float32(1.0))
-        )
+            c_final, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.float32(1.0))
+            )
 
-        # On early exit, chunks [c_final, min(c_final+NBUF, n_ch)) may have
-        # DMAs in flight; drain them so the next grid step's DMAs can't
-        # race buffers/semaphores.
-        @pl.when(c_final < n_ch)
-        def _():
-            def drain(c, _):
-                @pl.when(c < n_ch)
-                def _():
-                    dma(c).wait()
-                return ()
+            # On early exit, chunks [c_final, min(c_final+NBUF, n_ch)) may
+            # have DMAs in flight; drain them so the next grid step's DMAs
+            # can't race buffers/semaphores.
+            @pl.when(c_final < n_ch)
+            def _():
+                def drain(c, _):
+                    @pl.when(c < n_ch)
+                    def _():
+                        dma(c).wait()
+                    return ()
 
-            jax.lax.fori_loop(c_final, c_final + NBUF, drain, ())
+                jax.lax.fori_loop(c_final, c_final + NBUF, drain, ())
+        else:
+            jax.lax.fori_loop(
+                0, n_ch, lambda c, s: body((c, s))[1], jnp.float32(1.0)
+            )
 
     tfinal_ref[0] = jnp.transpose(t_ref[:], (1, 0))
 
@@ -626,43 +637,51 @@ def _bwd_kernel(
             )
             t_ref[:] = t_new
             e_ref[:] = e_ref[:] + jnp.sum(wd, axis=1, keepdims=True)
-            return c + 1, jnp.max(t_new)
+            tmax = jnp.max(t_new) if EARLY_EXIT else jnp.float32(1.0)
+            return c + 1, tmax
 
-        def cond(carry):
-            c, tmax = carry
-            return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
+        if EARLY_EXIT:
+            def cond(carry):
+                c, tmax = carry
+                return (c < n_ch) & (tmax > TRANSMITTANCE_THRESHOLD)
 
-        # early exit like the forward: once every pixel saturates, all
-        # later slots have live == 0 and therefore exactly-zero gradients
-        # (the replay analog of the CUDA last_ids cutoff)
-        f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+            # early exit like the forward: once every pixel saturates, all
+            # later slots have live == 0 and therefore exactly-zero
+            # gradients (the replay analog of the CUDA last_ids cutoff)
+            f, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.float32(1.0))
+            )
 
-        # drain in-flight input prefetches (chunks [f, f+NBUF) ∩ [0, n_ch))
-        @pl.when(f < n_ch)
-        def _():
-            def drain_in(c, _):
-                @pl.when(c < n_ch)
+            # drain in-flight input prefetches ([f, f+NBUF) ∩ [0, n_ch))
+            @pl.when(f < n_ch)
+            def _():
+                def drain_in(c, _):
+                    @pl.when(c < n_ch)
+                    def _():
+                        dma_in(c).wait()
+                    return ()
+
+                jax.lax.fori_loop(f, f + NBUF, drain_in, ())
+
+            # zero-fill the skipped tail so the reduction reads exact
+            # zeros (same per-chunk merge/hold protocol, with zero data;
+            # f >= 1 here so the head-merge case never recurs)
+            def zbody(c, _):
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c >= NBUF)
                 def _():
-                    dma_in(c).wait()
+                    wait_out(c - NBUF)
+
+                vbuf_ref[slot] = jnp.zeros_like(vbuf_ref[slot])
+                emit_chunk(c)
                 return ()
 
-            jax.lax.fori_loop(f, f + NBUF, drain_in, ())
-
-        # zero-fill the skipped tail so the reduction reads exact zeros
-        # (same per-chunk merge/hold protocol, with zero data; f >= 1 here
-        # so the head-merge case never recurs)
-        def zbody(c, _):
-            slot = jax.lax.rem(c, NBUF)
-
-            @pl.when(c >= NBUF)
-            def _():
-                wait_out(c - NBUF)
-
-            vbuf_ref[slot] = jnp.zeros_like(vbuf_ref[slot])
-            emit_chunk(c)
-            return ()
-
-        jax.lax.fori_loop(f, n_ch, zbody, ())
+            jax.lax.fori_loop(f, n_ch, zbody, ())
+        else:
+            jax.lax.fori_loop(
+                0, n_ch, lambda c, s: body((c, s))[1], jnp.float32(1.0)
+            )
 
         # drain the last (up to NBUF) out-DMAs, skipping the held chunk
         def drain_out(c, _):

@@ -17,11 +17,10 @@ if _platform == "cpu":
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-    if "backend_optimization_level" not in flags:
-        # numerics-neutral compile-time cut, measured ~20% off the suite
-        # on this one-core host (the 8-virtual-device shard_map programs
-        # dominate compile time)
-        flags += " --xla_backend_optimization_level=0"
+    # NOTE: --xla_backend_optimization_level=0 was tried for compile time
+    # (~20% off the suite) but is NOT numerics-neutral on XLA:CPU — it
+    # changes f32 association enough to trip the 2e-4-class kernel parity
+    # bounds. Keep the default optimization level.
     os.environ["XLA_FLAGS"] = flags
 
 # Persistent compilation cache: the suite's wall time is dominated by a
