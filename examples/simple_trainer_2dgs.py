@@ -45,7 +45,9 @@ class Runner2DGS(BaseRunner):
     """3DGS Runner with the render/loss swapped for the surfel model."""
 
     def render(self, params, alive, viewmats, Ks, sh_degree, offset=None,
-               absgrad=False):
+               absgrad=False, app=None, cam_ids=None):
+        # app/cam_ids accepted for base-Runner eval compatibility; the
+        # surfel trainer has no appearance head
         op = jnp.where(alive, jax.nn.sigmoid(params["opacities"]), 0.0)
         out = rasterization_2dgs(
             params["means"],
@@ -77,7 +79,8 @@ class Runner2DGS(BaseRunner):
 
             @jax.jit
             def train_step(params, opt_state, alive, viewmats, Ks, pixels,
-                           pose_deltas, cam_ids):
+                           pose_deltas, cam_ids, bil_grids, app_params,
+                           ppisp_params):
                 offset0 = jnp.zeros((C, self.capacity, 2), jnp.float32)
 
                 def loss_fn(p, offset):
@@ -101,8 +104,9 @@ class Runner2DGS(BaseRunner):
                 )(params, offset0)
                 g_params, g_screen = grads
                 g_pose = jnp.zeros_like(pose_deltas)
+                z = jnp.zeros((1,), jnp.float32)  # unused aux-module grads
                 visibility = (radii > 0).all(axis=-1).any(axis=0) & alive
-                return (loss, g_params, g_screen, g_pose, radii,
+                return (loss, g_params, g_screen, g_pose, z, z, z, radii,
                         visibility, overflow)
 
             return train_step
@@ -111,7 +115,8 @@ class Runner2DGS(BaseRunner):
         cache = {}
 
         def dispatch(params, opt_state, alive, vm, ks, px,
-                     pose_deltas, cam_ids, step=[0]):
+                     pose_deltas, cam_ids, bil_grids=None, app_params=None,
+                     ppisp_params=None, step=[0]):
             flags = (
                 step[0] >= cfg.normal_start_iter,
                 step[0] >= cfg.dist_start_iter,
@@ -120,7 +125,8 @@ class Runner2DGS(BaseRunner):
                 cache[flags] = build(flags)
             step[0] += 1
             return cache[flags](params, opt_state, alive, vm, ks, px,
-                                pose_deltas, cam_ids)
+                                pose_deltas, cam_ids, bil_grids, app_params,
+                                ppisp_params)
 
         return dispatch
 

@@ -78,8 +78,9 @@ def test_trainer_smoke(tiny_npz, tmp_path, strategy, monkeypatch):
     )
 
 
-@pytest.mark.slow
 def test_trainer_2dgs_smoke(tiny_npz, tmp_path, monkeypatch):
+    # unmarked: this is the ONLY coverage of the surfel trainer's runner
+    # wiring (its dispatch signature must track the base train loop)
     monkeypatch.setenv("GSPLAT_TPU_TEST_DATA", tiny_npz)
     from simple_trainer_2dgs import Config as Config2D
     from simple_trainer_2dgs import Runner2DGS
