@@ -777,7 +777,11 @@ class NCoreDataset:
             "camtoworld": p.camtoworlds[index].astype(np.float32),
             "camtoworld_end": p.camtoworlds_end[index].astype(np.float32),
             "image": image.astype(np.float32) / 255.0,
-            "image_id": item,
+            # global frame_list index (NOT the split-local position): usable
+            # to index camtoworlds/frame_list, and unique across train/test
+            # splits so per-frame modules (e.g. ppisp) keyed on it never
+            # collide between splits
+            "image_id": index,
             "camera_idx": p.camera_idx_per_frame[index],
         }
 

@@ -918,7 +918,7 @@ class Runner:
         # self-contained fixed-random-feature perceptual distance — always
         # available (no pretrained weights in this environment); NOT
         # comparable to published LPIPS numbers, hence its own column
-        lp_proxy = float(lpips_proxy(colors, targets))
+        lp_proxy = float(jnp.mean(lpips_proxy(colors, targets)))
         print(f"eval[{tag}] @{step}: PSNR {psnr:.2f} SSIM {s:.4f}"
               + (f" LPIPS {lp:.4f}" if lp is not None else "")
               + f" LPIPSproxy {lp_proxy:.4f}", flush=True)

@@ -22,10 +22,12 @@ Gaussian-sharded data parallelism with a camera-space all-to-all:
 Where NCCL process groups and torch.distributed bootstrap were needed, here
 the entire pipeline is one `shard_map`ped pure function over a
 `jax.sharding.Mesh` — it runs identically on 1 device (identity collectives,
-the reference's world_size==1 CI trick) and on a pod slice. The packed/
-ragged exchange (lax.ragged_all_to_all) is a planned optimization; the dense
-exchange is exact and matches the reference's `packed=False` distributed
-semantics.
+the reference's world_size==1 CI trick) and on a pod slice. Two exchange
+modes are implemented: the dense exchange (exact match for the reference's
+`packed=False` distributed semantics) and the count-routed packed/ragged
+exchange (lax.ragged_all_to_all with a transposed VJP — the analog of the
+reference's packed CSR exchange), both with gradients through the
+collectives.
 """
 
 from __future__ import annotations

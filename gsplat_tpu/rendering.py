@@ -414,7 +414,11 @@ def rasterization(
                     extra_signals_sh_degree, dirs_e, extra_signals,
                     masks=(radii > 0).all(axis=-1),
                 )
-                ex = jnp.maximum(ex + 0.5, 0.0)
+                # NOT clamped: extra signals may be signed (feature/semantic
+                # channels) — parity with the reference's _maybe_evaluate_sh
+                # clamp=False path (rendering.py:707-715); colors keep the
+                # maximum() above.
+                ex = ex + 0.5
                 ex_f = ex.reshape(I, N, -1)
             else:
                 if extra_signals.ndim == len(batch_dims) + 2:  # [..., N, E]
@@ -567,6 +571,15 @@ def rasterization(
         if absgrad or masks_f is not None:
             raise ValueError(
                 "fast=True is inference-only: absgrad/masks unsupported"
+            )
+        if has_depth:
+            # the packed payload carries bf16-pair fields: depth values would
+            # silently pick up ~2**-9 relative error (~0.2 units at depth
+            # 100) — refuse rather than degrade a metric channel
+            raise ValueError(
+                "fast=True supports color render modes only (depth channels "
+                "would be quantized to bf16 by the packed payload); use "
+                "fast=False for D/ED/RGB+D/RGB+ED"
             )
         render_colors, render_alphas, aux = rasterize_to_pixels_fast(
             m2_render, conics_f, feats_f, op, width, height,

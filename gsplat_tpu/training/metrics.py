@@ -148,8 +148,13 @@ def lpips_proxy(img1: jax.Array, img2: jax.Array, seed: int = 0) -> jax.Array:
     recipe with equal (untrained) head weights.  0 for identical images;
     grows with structural distortion.  NOT comparable to published LPIPS
     numbers (report as `lpips_proxy`).
+
+    Returns a per-image [B] array (scalar if the inputs were unbatched),
+    matching the reference lpips contract so the two are drop-in
+    interchangeable per view.
     """
-    if img1.ndim == 3:
+    squeeze = img1.ndim == 3
+    if squeeze:
         img1, img2 = img1[None], img2[None]
     ws = _proxy_weights(seed)
     x1 = _proxy_features(img1 * 2.0 - 1.0, ws)
@@ -158,5 +163,6 @@ def lpips_proxy(img1: jax.Array, img2: jax.Array, seed: int = 0) -> jax.Array:
     for a, b in zip(x1, x2):
         na = a / jnp.sqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
         nb = b / jnp.sqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
-        total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1))
-    return total
+        # spatial mean of the channel-summed squared difference, per image
+        total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1), axis=(1, 2))
+    return total[0] if squeeze else total

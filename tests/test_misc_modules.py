@@ -159,12 +159,21 @@ def test_lpips_proxy_perceptual_ordering():
             0, 1,
         ).astype(np.float32)
     )
-    assert float(lpips_proxy(img, img)) == 0.0
-    d_small = float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1)))
-    d_big = float(lpips_proxy(img, jnp.clip(img + 0.15, 0, 1)))
+    # batched input -> per-image [B] array (lpips contract)
+    assert lpips_proxy(img, img).shape == (1,)
+    assert float(lpips_proxy(img, img)[0]) == 0.0
+    # unbatched input -> scalar
+    assert lpips_proxy(img[0], img[0]).shape == ()
+    d_small = float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1))[0])
+    d_big = float(lpips_proxy(img, jnp.clip(img + 0.15, 0, 1))[0])
     assert 0.0 < d_small < d_big
     # deterministic across calls (fixed-seed weights)
-    assert d_small == float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1)))
+    assert d_small == float(lpips_proxy(img, jnp.clip(img + 0.02, 0, 1))[0])
+    # per-image values are independent of batch composition
+    two = jnp.concatenate([img, jnp.clip(img + 0.15, 0, 1)], axis=0)
+    per = lpips_proxy(two, jnp.concatenate([img, img], axis=0))
+    np.testing.assert_allclose(float(per[0]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(per[1]), d_big, rtol=1e-5)
 
 
 def test_ppisp_identity_and_stages():
