@@ -70,8 +70,10 @@ from .rasterize_pallas import (
     TILE,
     _bwd_call,
     _fwd_call,
+    grad_pack_rows,
     packed_rows,
 )
+from .mxu import unpack_bf16_pair
 from .segsum_pallas import PIECE as SEG_PIECE
 from .segsum_pallas import SEG as SEG_SEG
 from .segsum_pallas import segment_rowsum
@@ -94,6 +96,21 @@ if RASTER_CHUNK <= 0 or RASTER_CHUNK % DEFAULT_CHUNK != 0:
         f"GSPLAT_TPU_RASTER_CHUNK must be a positive multiple of "
         f"{DEFAULT_CHUNK}, got {RASTER_CHUNK}"
     )
+
+# Training-sort payload compression (lax.sort cost is ~per-OPERAND on TPU,
+# nearly independent of the keys — see docs/perf-analysis.md):
+#   PACK_SORT: the big emission sort carries bf16-pair packed render fields
+#     (tile-local coords), 2 + ceil((6+D)/2)+1 operands instead of 2 + 6+D.
+#     The forward AND its vjp replay the same quantized fields, so the
+#     gradients are the exact autodiff of the (slightly) quantized forward.
+#   PACK_GRADS: the backward id-sort carries bf16-pair packed per-slot
+#     gradients (1 + ceil((6+D)/2) operands instead of 1 + 6+D) and the
+#     kernel's [F_out, P] HBM grad write halves.  ~2**-9 per-slot relative
+#     error entering the per-gaussian sums.
+# Both were gated on the 4k-step MCMC quality benchmark before becoming
+# defaults (see docs/perf-analysis.md round-5 table).
+PACK_SORT = _os.environ.get("GSPLAT_TPU_PACK_SORT", "0") != "0"
+PACK_GRADS = _os.environ.get("GSPLAT_TPU_PACK_GRADS", "0") != "0"
 
 
 def tile_image(img: jax.Array, tile_size: int = TILE) -> jax.Array:
@@ -312,7 +329,7 @@ def make_tight_plan(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22, 23)
 )
 def _rasterize_core(
     m2f,  # [E, 2] (original order; cotangent layout only — fwd reads table_g)
@@ -333,12 +350,15 @@ def _rasterize_core(
     n_images: int,
     image_size: Tuple[int, int],
     absgrad: bool,
+    pack_payload: bool = PACK_SORT,
+    pack_grads: bool = PACK_GRADS,
 ):
     out, _ = _core_fwd(
         m2f, cnf, clf, opf, m2abs, table_g, perm,
         rr_cum_ex, rr_cum_in, rr_geo,
         win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
         tile_width, tile_height, n_images, image_size, absgrad,
+        pack_payload, pack_grads,
     )
     return out
 
@@ -393,7 +413,7 @@ def _core_fwd(
     rr_cum_ex, rr_cum_in, rr_geo,
     win1, win2, n_slots_arr, gh_bounds, dummy_i,
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad,
+    absgrad, pack_payload=PACK_SORT, pack_grads=PACK_GRADS,
 ):
     width, height = image_size
     D = n_channels
@@ -404,12 +424,18 @@ def _core_fwd(
 
     table_rr = _build_rr_table(rr_cum_ex, rr_cum_in, rr_geo, n_images)
 
-    R = 6 + D
+    # packed: the expansion emits bf16-pair rows with tile-local coords —
+    # the big sort then carries ceil((6+D)/2)+1 payload operands instead of
+    # 6+D, and the forward/backward kernels unpack in VMEM.  The vjp
+    # replays the SAME quantized fields, so gradients are the exact
+    # autodiff of the quantized forward.
+    R = packed_rows(D) if pack_payload else 6 + D
     r_pad = _round_up(R + 2, 8)
     keys, fields = expand_emission2(
         table_rr, table_g, win1, win2, n_slots_arr,
-        n_render=R, r_pad=r_pad, tile_w=tile_width,
+        n_render=6 + D, r_pad=r_pad, tile_w=tile_width,
         tiles_per_im=tile_width * tile_height, sentinel=T, k=K,
+        packed=pack_payload,
     )
 
     # second key = emission position: a stable-by-tile sort.  Gaussians are
@@ -439,7 +465,7 @@ def _core_fwd(
         sorted_pad, base, heads, counts,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T, chunk=RASTER_CHUNK,
+        n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload,
     )
 
     res = (
@@ -451,7 +477,7 @@ def _core_fwd(
 
 def _core_bwd(
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, res, cts,
+    absgrad, pack_payload, pack_grads, res, cts,
 ):
     (
         sorted_pad, emis_s, base, heads, counts, live_total, perm,
@@ -469,8 +495,10 @@ def _core_bwd(
         sorted_pad, base, heads, counts, v_pix, v_tfinal, pix_out, t_final,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T, chunk=RASTER_CHUNK,
-    )  # [6+D, P_pad] per-slot grads at sorted positions
+        n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload,
+        pack_grads=pack_grads,
+    )  # per-slot grads at sorted positions: [6+D, P_pad] f32 rows, or
+    #    [ceil((6+D)/2), P_pad] bf16-pair carriers when pack_grads
 
     # Slots beyond the live stream (sentinel keys / dummies) were never
     # written: mask their ids to the sentinel so they sort to the tail.
@@ -489,10 +517,21 @@ def _core_bwd(
     # (ops/segsum_pallas.py — replaces cumsum + boundary gather: XLA's
     # per-element gather cost ~65 ms at bench scale, and the windowed
     # one-hot sum also avoids cumsum-difference cancellation).
-    operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_rows_grad))
+    n_sort_rows = grad_pack_rows(D) if pack_grads else n_rows_grad
+    operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_sort_rows))
     # unstable: emission positions are unique
     srt = jax.lax.sort(operands, num_keys=1, is_stable=False)
-    rows = list(srt[1:])
+    if pack_grads:
+        # unpack the bf16-pair carriers AFTER the sort (the sort moved
+        # half the operands); the tail garbage unpacks to garbage floats,
+        # which the segment boundaries below never read
+        rows = []
+        for r in srt[1:]:
+            hi, lo = unpack_bf16_pair(r)
+            rows += [hi, lo]
+        rows = rows[:n_rows_grad]
+    else:
+        rows = list(srt[1:])
     if absgrad:
         rows += [jnp.abs(rows[0]), jnp.abs(rows[1])]
     Wc = len(rows)
@@ -572,6 +611,8 @@ def rasterize_to_pixels(
     absgrad: bool = False,
     means2d_abs: Optional[jax.Array] = None,  # [I, N, 2] absgrad carrier
     row_capacity: Optional[int] = None,
+    pack_payload: Optional[bool] = None,  # None = GSPLAT_TPU_PACK_SORT
+    pack_grads: Optional[bool] = None,  # None = GSPLAT_TPU_PACK_GRADS
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize projected gaussians to images (sorting included).
 
@@ -661,6 +702,8 @@ def rasterize_to_pixels(
         plan.win1, plan.win2, plan.n_slots,
         plan.gh_bounds, dummy_i,
         cap_total, D, tw, th, I, (image_width, image_height), absgrad,
+        PACK_SORT if pack_payload is None else pack_payload,
+        PACK_GRADS if pack_grads is None else pack_grads,
     )
 
     render = untile_image(pix_out, I, th, tw, image_height, image_width)
@@ -832,6 +875,8 @@ def rasterize_to_pixels_packed(
     absgrad: bool = False,
     means2d_abs: Optional[jax.Array] = None,
     row_capacity: Optional[int] = None,
+    pack_payload: Optional[bool] = None,  # None = GSPLAT_TPU_PACK_SORT
+    pack_grads: Optional[bool] = None,  # None = GSPLAT_TPU_PACK_GRADS
 ) -> Tuple[jax.Array, jax.Array, Dict[str, Any]]:
     """Rasterize an already visibility-compacted splat list (packed mode).
 
@@ -904,6 +949,8 @@ def rasterize_to_pixels_packed(
         plan.gh_bounds, dummy_i,
         cap_total, D, tw, th, n_images,
         (image_width, image_height), absgrad,
+        PACK_SORT if pack_payload is None else pack_payload,
+        PACK_GRADS if pack_grads is None else pack_grads,
     )
 
     I = n_images

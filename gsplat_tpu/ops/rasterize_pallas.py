@@ -214,6 +214,17 @@ def packed_rows(n_channels: int) -> int:
     return 3 + -(-n_channels // 2)
 
 
+def grad_pack_rows(n_channels: int) -> int:
+    """bf16-pair rows carrying the 6+D per-slot gradient rows."""
+    return -(-(6 + n_channels) // 2)
+
+
+def bwd_out_rows(n_channels: int, pack_grads: bool) -> int:
+    """8-aligned sublane count of the backward kernel's [F_out, P] output."""
+    live = grad_pack_rows(n_channels) if pack_grads else 6 + n_channels
+    return -(-live // 8) * 8
+
+
 def _chunk_alphas(buf, basis_sig, ox, oy, fast: bool = False):
     """Gated alphas (256, L) + intermediates from a staged chunk (F, L).
 
@@ -453,6 +464,8 @@ def _bwd_kernel(
     width: int,
     height: int,
     chunk: int = CHUNK,
+    packed: bool = False,
+    pack_grads: bool = False,
 ):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -460,7 +473,7 @@ def _bwd_kernel(
     head = head_ref[t]
     count = count_ref[t]
     D = n_channels
-    F_out = -(-(6 + D) // 8) * 8  # 8-aligned sublane count for DMA slices
+    F_out = bwd_out_rows(D, pack_grads)  # 8-aligned sublanes for DMA slices
     n_ch = (head + count + chunk - 1) // chunk
     end = head + count
     end_off = end - (n_ch - 1) * chunk  # lanes of the last chunk that are ours
@@ -559,9 +572,19 @@ def _bwd_kernel(
             g = c * chunk + lane_row
             lane_valid = (g >= head) & (g < end)
             buf = jnp.where(lane_valid, buf_ref[slot], 0.0)
-            alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = _chunk_alphas(
-                buf, basis_sig, ox, oy
-            )
+            if packed:
+                # bf16-pair payload with TILE-LOCAL coords: the replay must
+                # reproduce the packed forward's compositing decisions
+                # bit-exactly, so the unpack + alpha path match
+                # _fwd_kernel's packed branch exactly
+                buf = _unpack_chunk(buf, n_channels)
+                alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = (
+                    _chunk_alphas(buf, basis_sig, 0.0, 0.0, fast=True)
+                )
+            else:
+                alpha, alpha_raw, vis, gate, (mx, my, ca, cb, cc) = (
+                    _chunk_alphas(buf, basis_sig, ox, oy)
+                )
 
             one_m = 1.0 - alpha
             cp_incl = _cumprod_lane(one_m)
@@ -603,9 +626,10 @@ def _bwd_kernel(
             r3, r4, r5 = R[3:4, :], R[4:5, :], R[5:6, :]
             # sums of v_sigma * {dx^2, dx*dy, dy^2, dx, dy} via separability;
             # dx = mx - px is translation invariant, so tile-local means pair
-            # with the tile-local basis (well-conditioned moments)
-            mxl = mx - ox
-            myl = my - oy
+            # with the tile-local basis (well-conditioned moments).  Packed
+            # buffers already carry tile-local means.
+            mxl = mx if packed else mx - ox
+            myl = my if packed else my - oy
             s_dx2 = mxl * mxl * r0 - 2.0 * mxl * r1 + r3
             s_dxdy = mxl * myl * r0 - mxl * r2 - myl * r1 + r4
             s_dy2 = myl * myl * r0 - 2.0 * myl * r2 + r5
@@ -617,13 +641,35 @@ def _bwd_kernel(
                 v_pix, w, dims=(((1,), (0,)), ((), ()))
             )  # (D, L)
 
-            vbuf_ref[slot, 0:1, :] = ca * s_dx + cb * s_dy  # v_mx
-            vbuf_ref[slot, 1:2, :] = cb * s_dx + cc * s_dy  # v_my
-            vbuf_ref[slot, 2:3, :] = 0.5 * s_dx2  # v_conic_a
-            vbuf_ref[slot, 3:4, :] = s_dxdy  # v_conic_b
-            vbuf_ref[slot, 4:5, :] = 0.5 * s_dy2  # v_conic_c
-            vbuf_ref[slot, 5:6, :] = v_op
-            vbuf_ref[slot, 6 : 6 + D, :] = v_col
+            grad_rows = [
+                ca * s_dx + cb * s_dy,  # v_mx
+                cb * s_dx + cc * s_dy,  # v_my
+                0.5 * s_dx2,  # v_conic_a
+                s_dxdy,  # v_conic_b
+                0.5 * s_dy2,  # v_conic_c
+                v_op,
+            ] + [v_col[i : i + 1, :] for i in range(D)]
+            if pack_grads:
+                # bf16-pair the per-slot grads: halves the [F_out, P] HBM
+                # write AND the downstream id-sort payload.  Per-slot
+                # relative error ~2**-9 with data-dependent sign; adopted
+                # only behind the quality-benchmark gate (see
+                # ops/rasterize.py PACK_GRADS).
+                from .mxu import pack_bf16_pair
+
+                for i in range(0, len(grad_rows), 2):
+                    hi = grad_rows[i]
+                    lo = (
+                        grad_rows[i + 1]
+                        if i + 1 < len(grad_rows)
+                        else jnp.zeros_like(hi)
+                    )
+                    vbuf_ref[slot, i // 2 : i // 2 + 1, :] = pack_bf16_pair(
+                        hi, lo
+                    )
+            else:
+                for i, r in enumerate(grad_rows):
+                    vbuf_ref[slot, i : i + 1, :] = r
             emit_chunk(c)
 
             # the input slot is free now: refill with chunk c + NBUF
@@ -788,7 +834,7 @@ def _fwd_call(
     jax.jit,
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
-        "width", "height", "n_tiles", "chunk",
+        "width", "height", "n_tiles", "chunk", "packed", "pack_grads",
     ),
 )
 def _bwd_call(
@@ -808,13 +854,15 @@ def _bwd_call(
     height: int,
     n_tiles: int,
     chunk: int = CHUNK,
+    packed: bool = False,
+    pack_grads: bool = False,
 ):
     F = isect_data.shape[0]
     P_pad = isect_data.shape[1]
     D = n_channels
-    # rows beyond 6+D are DMA alignment padding (may carry scratch garbage;
-    # the reduction never reads them)
-    F_out = -(-(6 + D) // 8) * 8
+    # rows beyond the live grad rows are DMA alignment padding (may carry
+    # scratch garbage; the reduction never reads them)
+    F_out = bwd_out_rows(D, pack_grads)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -845,6 +893,8 @@ def _bwd_call(
         width=width,
         height=height,
         chunk=chunk,
+        packed=packed,
+        pack_grads=pack_grads,
     )
     # Slots in the sentinel tail (beyond the last tile's span) are never
     # written — the reduction masks them by position (ops/rasterize.py).

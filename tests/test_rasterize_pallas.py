@@ -229,3 +229,83 @@ def test_packed_entry_matches_dense(scene):
         np.testing.assert_allclose(
             np.asarray(a), b_packed, atol=1e-5, rtol=1e-4
         )
+
+
+def test_pack_payload_forward_matches_fast_path(scene):
+    """pack_payload=True training forward must equal the no-grad fast path
+    bit-for-bit: both route the identical bf16-pair packed worklist through
+    the same packed kernel (ops/rasterize.py PACK_SORT)."""
+    from gsplat_tpu.ops.rasterize import rasterize_to_pixels_fast
+
+    s = scene
+    m2, cn, cl, op = s["args"]
+    c_pk, a_pk, _ = rasterize_to_pixels(
+        m2, cn, cl, op, s["W"], s["H"], s["radii"], s["depths"], 2048,
+        pack_payload=True,
+    )
+    c_fast, a_fast, _ = rasterize_to_pixels_fast(
+        m2, cn, cl, op, s["W"], s["H"], s["radii"], s["depths"], 2048
+    )
+    np.testing.assert_array_equal(np.asarray(c_pk), np.asarray(c_fast))
+    np.testing.assert_array_equal(np.asarray(a_pk), np.asarray(a_fast))
+
+
+def test_pack_payload_gradients_approximate_exact(scene):
+    """Gradients of the packed-payload forward are the exact autodiff of a
+    bf16-quantized forward: they must track the exact path's gradients to
+    bf16-grade (~2**-9 relative) accuracy at gradient scale."""
+    tgt = jnp.asarray(
+        np.random.default_rng(3)
+        .random((2, scene["H"], scene["W"], 3))
+        .astype(np.float32)
+    )
+
+    def loss(pack, pgr, *args):
+        c, a, _ = rasterize_to_pixels(
+            *args, scene["W"], scene["H"], scene["radii"], scene["depths"],
+            2048, pack_payload=pack, pack_grads=pgr,
+        )
+        return jnp.sum((c - tgt) ** 2) + 0.3 * jnp.sum(a)
+
+    g_exact = jax.grad(lambda *a: loss(False, False, *a), argnums=(0, 1, 2, 3))(
+        *scene["args"]
+    )
+    g_pack = jax.grad(lambda *a: loss(True, False, *a), argnums=(0, 1, 2, 3))(
+        *scene["args"]
+    )
+    g_both = jax.grad(lambda *a: loss(True, True, *a), argnums=(0, 1, 2, 3))(
+        *scene["args"]
+    )
+    for ge, gp, gb in zip(g_exact, g_pack, g_both):
+        scale = max(float(jnp.abs(ge).max()), 1e-3)
+        # packed payload: the quantized forward is a slightly DIFFERENT
+        # function — its exact gradient deviates most for sharp gaussians
+        # (conic * bf16 position error).  Band check: the bulk tracks to
+        # ~2% of gradient scale, the worst tail stays bounded.
+        diff = np.abs(np.asarray(gp) - np.asarray(ge))
+        assert float((diff > 2e-2 * scale).mean()) < 0.03, diff.max() / scale
+        assert float(diff.max()) < 0.3 * scale
+        # pack_grads adds ~2**-9 per-slot rounding on top of the packed
+        # payload's grads (sums of per-slot bf16 pairs)
+        diff2 = np.abs(np.asarray(gb) - np.asarray(gp))
+        assert float((diff2 > 5e-3 * scale).mean()) < 0.03, (
+            diff2.max() / scale
+        )
+        assert float(diff2.max()) < 0.1 * scale
+
+
+def test_pack_grads_only_matches_exact_forward(scene):
+    """pack_grads without pack_payload keeps the exact forward (values
+    bit-identical to the default path); only the per-slot grad transport
+    is bf16-pair rounded."""
+    s = scene
+    m2, cn, cl, op = s["args"]
+    c0, a0, _ = rasterize_to_pixels(
+        m2, cn, cl, op, s["W"], s["H"], s["radii"], s["depths"], 2048
+    )
+    c1, a1, _ = rasterize_to_pixels(
+        m2, cn, cl, op, s["W"], s["H"], s["radii"], s["depths"], 2048,
+        pack_grads=True,
+    )
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
