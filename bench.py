@@ -18,6 +18,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    # axon gotcha: block_until_ready can return early; force a host
+    # transfer of one element, which waits for the device queue to drain
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -67,21 +75,21 @@ def main():
     args = (means, quats, scales, opac, colors)
 
     out = fwd(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     assert not bool(out[2]), "isect capacity overflow in benchmark"
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fwd(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t_fwd = (time.perf_counter() - t0) / reps
 
     g = step(*args)
-    jax.block_until_ready(g)
+    _sync(g)
     t0 = time.perf_counter()
     for _ in range(reps):
         g = step(*args)
-    jax.block_until_ready(g)
+    _sync(g)
     t_step = (time.perf_counter() - t0) / reps  # fwd+bwd together
 
     step_fps = 1.0 / t_step

@@ -384,9 +384,16 @@ def rasterization_sharded(
     )
     out_specs = (P(axis), P(axis), P(axis), P(axis))
 
-    fn = jax.shard_map(
-        _shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+    # jit the whole sharded pipeline: an un-jitted shard_map executes
+    # EAGERLY, dispatching every primitive per-shard with its own
+    # mini-compile (~45 ms/primitive measured on the virtual CPU mesh —
+    # a ~1000x slowdown); under jit it is one XLA program, persistently
+    # cached across processes
+    fn = jax.jit(
+        jax.shard_map(
+            _shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
     )
     render, alphas, n_isects, overflow = fn(
         means, quats, scales, opacities, colors, viewmats, Ks,
