@@ -80,6 +80,11 @@ class Config:
     capacity: int = 0  # gaussian capacity; 0 = auto
     cap_max: int = 1_000_000  # MCMC capacity
     refine_every: int = 100
+    # DefaultStrategy densify threshold (pixel-unit mean screen-grad
+    # norm).  The reference default 2e-4 is calibrated for real-photo
+    # gradients; the synthetic clean-target benchmark produces smaller
+    # grads — sweep via CLI (see TRAINING_NOTES.md)
+    grow_grad2d: float = 2e-4
     eval_every: int = 7000
     save_every: int = 7000
     opacity_reg: float = 0.0
@@ -212,6 +217,14 @@ def create_splats(
     rng = np.random.default_rng(cfg.seed)
 
     dist = knn_mean_dist(points)
+    # robust clip: isolated outlier points get knn distances orders of
+    # magnitude above the bulk (the subsampled garden cloud has points
+    # with dist ~200 units vs median ~0.02), which seeds e^5-scale
+    # gaussians.  3DGS gradients shrink them within a few hundred steps;
+    # 2DGS never moves the normal axis (zero gradient) and the frozen
+    # giant s_z then poisons split sampling.  Cap at 10x median — far
+    # above any legitimate local spacing.
+    dist = np.minimum(dist, 10.0 * max(float(np.median(dist)), 1e-7))
     scales = np.log(np.clip(dist * cfg.init_scale, 1e-7, None))[:, None].repeat(
         3, axis=1
     )
@@ -250,6 +263,11 @@ def create_splats(
 
 
 class Runner:
+    # local-frame scale axes the strategy considers for scale tests and
+    # split sampling; the surfel (2DGS) runner overrides with (0, 1) — its
+    # normal-axis scale has no render gradient (see strategy/default.py)
+    strategy_scale_axes: tuple = (0, 1, 2)
+
     def __init__(self, cfg: Config):
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
@@ -354,7 +372,11 @@ class Runner:
             self.strategy_state = self.strategy.initialize_state()
         else:
             capacity = cfg.capacity or int(N0 * 6)
-            self.strategy = DefaultStrategy(refine_every=cfg.refine_every)
+            self.strategy = DefaultStrategy(
+                refine_every=cfg.refine_every,
+                grow_grad2d=cfg.grow_grad2d,
+                scale_axes=self.strategy_scale_axes,
+            )
             self.strategy_state = self.strategy.initialize_state(
                 capacity, scene_scale=self.scene_scale
             )

@@ -44,6 +44,12 @@ class Config(BaseConfig):
 class Runner2DGS(BaseRunner):
     """3DGS Runner with the render/loss swapped for the surfel model."""
 
+    # the surfel rasterizer only uses the two tangent scales; the normal
+    # axis gets no gradient and must not drive densification decisions or
+    # split sampling (round-4 oscillation root cause — see
+    # strategy/default.py:scale_axes)
+    strategy_scale_axes = (0, 1)
+
     def render(self, params, alive, viewmats, Ks, sh_degree, offset=None,
                absgrad=False, app=None, cam_ids=None):
         # app/cam_ids accepted for base-Runner eval compatibility; the

@@ -80,6 +80,11 @@ SCAN_PASSES = int(_os.environ.get("GSPLAT_TPU_SCAN_PASSES", "2"))
 # sometimes skip tail chunks; with the tight plan's ~1-2 chunks per tile
 # the trade is measurable in both directions — keep it switchable.
 EARLY_EXIT = _os.environ.get("GSPLAT_TPU_EARLY_EXIT", "1") != "0"
+# Lane-scan implementation: "matmul" = blocked MXU triangular scans in the
+# log domain (cumprod via exp(cumsum(log)));  "shift" = Hillis-Steele
+# doubling with pltpu.roll — exact f32 products/sums on the VPU, no
+# transcendentals, no MXU passes.  Switchable for on-chip measurement.
+SCAN_IMPL = _os.environ.get("GSPLAT_TPU_SCAN_IMPL", "matmul")
 _dot_01 = dot_01_exact if SCAN_PASSES == 3 else dot_01_faithful
 from .projection import ALPHA_THRESHOLD, MAX_ALPHA, TRANSMITTANCE_THRESHOLD
 
@@ -123,7 +128,12 @@ def _cumsum_lane(x: jax.Array, dot=None) -> jax.Array:
 
     `dot` overrides the scan matmul (the inference fast path passes the
     single-pass `dot_01_plain`).
+
+    GSPLAT_TPU_SCAN_IMPL=shift switches to the exact f32 doubling scan
+    (see `_shift_scan`).
     """
+    if SCAN_IMPL == "shift":
+        return _shift_scan(x, jnp.add, 0.0)
     dot = dot or _dot_01
     k = x.shape[1]
     if k <= 128:
@@ -139,15 +149,39 @@ def _cumsum_lane(x: jax.Array, dot=None) -> jax.Array:
     return jnp.concatenate(out, axis=1)
 
 
-def _cumprod_lane(x: jax.Array, dot=None) -> jax.Array:
-    """Inclusive cumulative product along axis 1 via exp(cumsum(log x)).
+def _shift_scan(x: jax.Array, combine, identity: float) -> jax.Array:
+    """Inclusive lane scan by Hillis-Steele doubling (pltpu.roll).
 
+    log2(k) steps of roll + masked combine — exact f32 arithmetic (no
+    log/exp, no bf16 splits), all on the VPU.
+    """
+    k = x.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < k:
+        y = jnp.where(
+            lanes >= shift, pltpu.roll(x, shift=shift, axis=1), identity
+        )
+        x = combine(x, y)
+        shift *= 2
+    return x
+
+
+def _cumprod_lane(x: jax.Array, dot=None) -> jax.Array:
+    """Inclusive cumulative product along axis 1.
+
+    matmul impl: exp(cumsum(log x)) with blocked MXU triangular scans.
     Valid for the compositing use-case: x = 1 - alpha in [1 - MAX_ALPHA, 1]
     (so log is finite) and masked lanes hold exactly 1.0, for which
     log -> 0.0 and exp -> 1.0 are exact.  The log-domain sum rides the
     MXU; accuracy vs the sequential product is ~1e-6 relative (f32 log/exp
     are sub-ulp, and |sum of logs| <= 128 * |log(0.01)|).
+
+    shift impl (GSPLAT_TPU_SCAN_IMPL=shift): doubling scan of exact f32
+    products — strictly more accurate, no transcendentals.
     """
+    if SCAN_IMPL == "shift":
+        return _shift_scan(x, jnp.multiply, 1.0)
     return jnp.exp(_cumsum_lane(jnp.log(x), dot=dot))
 
 

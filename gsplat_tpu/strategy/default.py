@@ -45,6 +45,13 @@ class DefaultStrategy:
     # topology edits (children inherit parents) — e.g. DynamicStrategy's
     # dynamic_mask
     sidecar_state_keys: Tuple[str, ...] = ()
+    # which local-frame scale axes participate in the is_small/is_prune
+    # scale tests AND the split position sampling.  Surfel (2DGS) models
+    # pass (0, 1): the normal-axis scale gets no render gradient and stays
+    # frozen at init, so including it misclassifies every surfel with a
+    # large init s_z as "too big to duplicate" and flings split children
+    # along the normal (the round-4 garden 2DGS oscillation)
+    scale_axes: Tuple[int, ...] = (0, 1, 2)
 
     def initialize_state(
         self, cap: int, scene_scale: float = 1.0
@@ -117,7 +124,8 @@ class DefaultStrategy:
         """
         grads = state["grad2d"] / jnp.maximum(state["count"], 1.0)
         is_grad_high = (grads > self.grow_grad2d) & alive
-        scale_max = jnp.exp(params["scales"]).max(axis=-1)
+        ax = list(self.scale_axes)
+        scale_max = jnp.exp(params["scales"][..., ax]).max(axis=-1)
         is_small = scale_max <= self.grow_scale3d * state["scene_scale"]
         is_dupli = is_grad_high & is_small
         is_split = is_grad_high & ~is_small
@@ -132,6 +140,7 @@ class DefaultStrategy:
             params, opt_moments, alive, sidecar = ops.split(
                 params, opt_moments, alive, is_split, key,
                 revised_opacity=self.revised_opacity, extra=sidecar,
+                sample_axes=self.scale_axes,
             )
         else:
             params, opt_moments, alive = ops.duplicate(
@@ -141,10 +150,11 @@ class DefaultStrategy:
             params, opt_moments, alive = ops.split(
                 params, opt_moments, alive, is_split, key,
                 revised_opacity=self.revised_opacity,
+                sample_axes=self.scale_axes,
             )
 
         # prune (reference recomputes scales on the grown set, :343-377)
-        scale_max = jnp.exp(params["scales"]).max(axis=-1)
+        scale_max = jnp.exp(params["scales"][..., ax]).max(axis=-1)
         is_prune = (
             jax.nn.sigmoid(params["opacities"]) < self.prune_opa
         ) & alive

@@ -93,6 +93,7 @@ def split(
     key: jax.Array,
     revised_opacity: bool = False,
     extra: Any = None,  # optional per-gaussian sidecar pytree ([cap, ...])
+    sample_axes: Tuple[int, ...] = (0, 1, 2),
 ):
     """Split masked gaussians into two samples. Parity: ops.py:split (:175).
 
@@ -100,12 +101,26 @@ def split(
     sample 0 overwrites the original slot and sample 1 goes to a free slot.
     Both positions are drawn from the gaussian (mean + R S n), scales
     shrink by 1.6 in log space, and both slots' optimizer moments reset.
+
+    `sample_axes` restricts the position sampling to a subset of the local
+    frame's axes.  Surfel (2DGS) models pass (0, 1): their normal-axis
+    scale never receives a render gradient (the rasterizer only uses the
+    two tangent axes), so it stays frozen at its init value — an isolated
+    init point with a huge knn scale would otherwise fling split children
+    hundreds of units along the normal (observed in the round-4 garden
+    2DGS run: children at radius ~184 with s_z ~ e^5.3).
     """
     cap = alive.shape[0]
     mask = mask & alive
     dst, src, _ = _ranked_pairs(mask, ~alive)
 
     scales = jnp.exp(params["scales"])  # [cap, 3]
+    if tuple(sample_axes) != (0, 1, 2):
+        axes_mask = jnp.asarray(
+            [1.0 if i in tuple(sample_axes) else 0.0 for i in range(3)],
+            scales.dtype,
+        )
+        scales = scales * axes_mask
     R = quat_to_rotmat(params["quats"])  # [cap, 3, 3]
     noise = jax.random.normal(key, (2, cap, 3), params["means"].dtype)
     samples = jnp.einsum(
