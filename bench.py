@@ -54,11 +54,18 @@ def main():
     # the visible working set, not I*N*tiles)
     cap = 8 * 1024 * 1024 + 256 * 1024
 
+    ts = int(os.environ.get("GSPLAT_TPU_BENCH_TILE", "16"))
+    # larger tiles cut the emission multiplicity (~3.0 at ts=16), so the
+    # same scene needs a smaller isect capacity at ts=32
+    if ts != 16:
+        cap = 6 * 1024 * 1024
+
     def render(*args):
         c, a, meta = rasterization(
             *args, viewmats, Ks, W, H,
             near_plane=0.01, far_plane=100.0, radius_clip=3.0,
             isect_capacity=cap, row_capacity=2 * 1024 * 1024 + 384 * 1024,
+            tile_size=ts,
         )
         return c, a, meta["isect_overflow"]
 

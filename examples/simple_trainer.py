@@ -672,6 +672,7 @@ class Runner:
             )
         self.viewer = viewer
         t0 = time.time()
+        self._train_t0 = t0  # eval stats report ellipse_time against this
         for step in range(self.start_step, cfg.max_steps):
             sh_degree = sh_sched(step)
             if sh_degree not in train_steps:
@@ -946,7 +947,15 @@ class Runner:
               + f" LPIPSproxy {lp_proxy:.4f}", flush=True)
         stats = {"step": step, "tag": tag, "psnr": psnr, "ssim": s,
                  "lpips": lp, "lpips_proxy": lp_proxy,
-                 "n_gs": int(jnp.sum(self.alive))}
+                 "n_gs": int(jnp.sum(self.alive)),
+                 # resource columns the reference's benchmark scripts
+                 # scrape (simple_trainer.py:1041-1052): device memory and
+                 # wall time since training start
+                 "mem": _device_mem_gib(),
+                 "ellipse_time": (
+                     time.time() - self._train_t0
+                     if hasattr(self, "_train_t0") else None
+                 )}
         with open(os.path.join(self.cfg.result_dir, "stats.jsonl"), "a") as f:
             f.write(json.dumps(stats) + "\n")
         # per-eval JSON + TB scalars (reference simple_trainer.py:1285-1300)

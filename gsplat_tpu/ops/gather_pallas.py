@@ -602,6 +602,7 @@ def _expand2_kernel(
     tiles_per_im: int,
     sentinel: int,
     packed: bool = False,
+    tile_size: int = 16,
 ):
     c = pl.program_id(0)
     n_c = pl.num_programs(0)
@@ -688,8 +689,8 @@ def _expand2_kernel(
 
         D = n_render - 6
         fmask = found.astype(jnp.float32)
-        x_loc = fields[0:1] - (tx * 16).astype(jnp.float32) * fmask
-        y_loc = fields[1:2] - (ty * 16).astype(jnp.float32) * fmask
+        x_loc = fields[0:1] - (tx * tile_size).astype(jnp.float32) * fmask
+        y_loc = fields[1:2] - (ty * tile_size).astype(jnp.float32) * fmask
         rows = [
             pack_bf16_pair(x_loc, y_loc),
             pack_bf16_pair(fields[2:3], fields[3:4]),  # (ca, cb)
@@ -715,7 +716,7 @@ def _expand2_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_render", "r_pad", "tile_w", "tiles_per_im",
-                     "sentinel", "k", "packed"),
+                     "sentinel", "k", "packed", "tile_size"),
 )
 def expand_emission2(
     table_rr: jax.Array,  # [9, R_pad] f32 row-record geometry
@@ -731,6 +732,7 @@ def expand_emission2(
     sentinel: int,
     k: int,
     packed: bool = False,
+    tile_size: int = 16,
 ):
     """Two-window emission expansion for the tight-intersection path.
 
@@ -766,6 +768,7 @@ def expand_emission2(
         tiles_per_im=tiles_per_im,
         sentinel=sentinel,
         packed=packed,
+        tile_size=tile_size,
     )
     (fields,) = pl.pallas_call(
         kernel,

@@ -329,7 +329,7 @@ def make_tight_plan(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22, 23)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21, 22, 23, 24)
 )
 def _rasterize_core(
     m2f,  # [E, 2] (original order; cotangent layout only — fwd reads table_g)
@@ -352,13 +352,14 @@ def _rasterize_core(
     absgrad: bool,
     pack_payload: bool = PACK_SORT,
     pack_grads: bool = PACK_GRADS,
+    tile_size: int = TILE,
 ):
     out, _ = _core_fwd(
         m2f, cnf, clf, opf, m2abs, table_g, perm,
         rr_cum_ex, rr_cum_in, rr_geo,
         win1, win2, n_slots_arr, gh_bounds, dummy_i, cap_total, n_channels,
         tile_width, tile_height, n_images, image_size, absgrad,
-        pack_payload, pack_grads,
+        pack_payload, pack_grads, tile_size,
     )
     return out
 
@@ -413,7 +414,7 @@ def _core_fwd(
     rr_cum_ex, rr_cum_in, rr_geo,
     win1, win2, n_slots_arr, gh_bounds, dummy_i,
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, pack_payload=PACK_SORT, pack_grads=PACK_GRADS,
+    absgrad, pack_payload=PACK_SORT, pack_grads=PACK_GRADS, tile_size=TILE,
 ):
     width, height = image_size
     D = n_channels
@@ -435,7 +436,7 @@ def _core_fwd(
         table_rr, table_g, win1, win2, n_slots_arr,
         n_render=6 + D, r_pad=r_pad, tile_w=tile_width,
         tiles_per_im=tile_width * tile_height, sentinel=T, k=K,
-        packed=pack_payload,
+        packed=pack_payload, tile_size=tile_size,
     )
 
     # second key = emission position: a stable-by-tile sort.  Gaussians are
@@ -465,7 +466,7 @@ def _core_fwd(
         sorted_pad, base, heads, counts,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload,
+        n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload, tile=tile_size,
     )
 
     res = (
@@ -477,7 +478,7 @@ def _core_fwd(
 
 def _core_bwd(
     cap_total, n_channels, tile_width, tile_height, n_images, image_size,
-    absgrad, pack_payload, pack_grads, res, cts,
+    absgrad, pack_payload, pack_grads, tile_size, res, cts,
 ):
     (
         sorted_pad, emis_s, base, heads, counts, live_total, perm,
@@ -496,7 +497,7 @@ def _core_bwd(
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
         n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload,
-        pack_grads=pack_grads,
+        pack_grads=pack_grads, tile=tile_size,
     )  # per-slot grads at sorted positions: [6+D, P_pad] f32 rows, or
     #    [ceil((6+D)/2), P_pad] bf16-pair carriers when pack_grads
 
@@ -629,8 +630,13 @@ def rasterize_to_pixels(
     scales with the visible set, not I*N.
     Parity: gsplat/cuda/_wrapper.py:rasterize_to_pixels (:1337) +
     isect_tiles with AccuTile (IntersectTile.cu:96-207).
+
+    tile_size may be 8/16/32 (the reference runtime-dispatches tile size
+    the same way, Rendering.cpp:261-274): larger tiles shrink the
+    emission count every sort touches, at the cost of more per-tile
+    kernel compute.  16 is the measured default (docs/perf-analysis.md).
     """
-    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
+    assert tile_size in (8, 16, 32), tile_size
     I, N = means2d.shape[0], means2d.shape[1]
     E = I * N
     D = colors.shape[-1]
@@ -704,10 +710,15 @@ def rasterize_to_pixels(
         cap_total, D, tw, th, I, (image_width, image_height), absgrad,
         PACK_SORT if pack_payload is None else pack_payload,
         PACK_GRADS if pack_grads is None else pack_grads,
+        tile_size,
     )
 
-    render = untile_image(pix_out, I, th, tw, image_height, image_width)
-    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
+    render = untile_image(
+        pix_out, I, th, tw, image_height, image_width, tile_size
+    )
+    t_img = untile_image(
+        t_final, I, th, tw, image_height, image_width, tile_size
+    )
     render_alphas = 1.0 - t_img
     if backgrounds is not None:
         render = render + t_img * backgrounds[:, None, None, :]
@@ -768,7 +779,7 @@ def rasterize_to_pixels_fast(
     forward kernel runs single-pass bf16 scans and color accumulation.
     Error class ~2**-9 per field (sub-1% pixel error) — inference only.
     """
-    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
+    assert tile_size in (8, 16, 32), tile_size
     I, N = means2d.shape[0], means2d.shape[1]
     E = I * N
     D = colors.shape[-1]
@@ -821,7 +832,7 @@ def rasterize_to_pixels_fast(
     keys, fields = expand_emission2(
         table_rr, table_g, plan.win1, plan.win2, plan.n_slots,
         n_render=6 + D, r_pad=r_pad, tile_w=tw, tiles_per_im=tw * th,
-        sentinel=T, k=cap_total // CH, packed=True,
+        sentinel=T, k=cap_total // CH, packed=True, tile_size=tile_size,
     )
 
     pos_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
@@ -844,11 +855,15 @@ def rasterize_to_pixels_fast(
         sorted_pad, base, heads, counts,
         n_channels=D, tiles_w=tw, tiles_per_image=tw * th,
         width=image_width, height=image_height, n_tiles=T,
-        chunk=RASTER_CHUNK, packed=True,
+        chunk=RASTER_CHUNK, packed=True, tile=tile_size,
     )
 
-    render = untile_image(pix_out, I, th, tw, image_height, image_width)
-    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
+    render = untile_image(
+        pix_out, I, th, tw, image_height, image_width, tile_size
+    )
+    t_img = untile_image(
+        t_final, I, th, tw, image_height, image_width, tile_size
+    )
     render_alphas = 1.0 - t_img
     if backgrounds is not None:
         render = render + t_img * backgrounds[:, None, None, :]
@@ -888,7 +903,7 @@ def rasterize_to_pixels_packed(
     side of the distributed count-routed splat exchange
     (parallel/render.py; DistributedCollectives.cpp:343-409 analog).
     """
-    assert tile_size == TILE, "Pallas rasterizer requires tile_size == 16"
+    assert tile_size in (8, 16, 32), tile_size
     E = means2d.shape[0]
     D = colors.shape[-1]
     th = -(-image_height // tile_size)
@@ -951,11 +966,16 @@ def rasterize_to_pixels_packed(
         (image_width, image_height), absgrad,
         PACK_SORT if pack_payload is None else pack_payload,
         PACK_GRADS if pack_grads is None else pack_grads,
+        tile_size,
     )
 
     I = n_images
-    render = untile_image(pix_out, I, th, tw, image_height, image_width)
-    t_img = untile_image(t_final, I, th, tw, image_height, image_width)
+    render = untile_image(
+        pix_out, I, th, tw, image_height, image_width, tile_size
+    )
+    t_img = untile_image(
+        t_final, I, th, tw, image_height, image_width, tile_size
+    )
     render_alphas = 1.0 - t_img
     if backgrounds is not None:
         render = render + t_img * backgrounds[:, None, None, :]

@@ -191,8 +191,10 @@ def _shift_right_one(x: jax.Array, fill: float) -> jax.Array:
     return jnp.where(lanes >= 1, pltpu.roll(x, shift=1, axis=1), fill)
 
 
-def _tile_pixel_coords(t: jax.Array, tiles_w: int, tiles_per_image: int):
-    """Pixel-center coordinates as (256, 1) columns for linear tile id t.
+def _tile_pixel_coords(
+    t: jax.Array, tiles_w: int, tiles_per_image: int, tile: int = TILE
+):
+    """Pixel-center coordinates as (tile*tile, 1) columns for tile id t.
 
     Returns (px, py, ox, oy): global pixel centers plus the tile origin.
     The backward basis reductions use tile-LOCAL coordinates (px - ox) to
@@ -201,11 +203,11 @@ def _tile_pixel_coords(t: jax.Array, tiles_w: int, tiles_per_image: int):
     tl = t % tiles_per_image
     ty = tl // tiles_w
     tx = tl % tiles_w
-    pix = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
-    ox = (tx * TILE).astype(jnp.float32)
-    oy = (ty * TILE).astype(jnp.float32)
-    px = ox + (pix % TILE).astype(jnp.float32) + 0.5
-    py = oy + (pix // TILE).astype(jnp.float32) + 0.5
+    pix = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1), 0)
+    ox = (tx * tile).astype(jnp.float32)
+    oy = (ty * tile).astype(jnp.float32)
+    px = ox + (pix % tile).astype(jnp.float32) + 0.5
+    py = oy + (pix // tile).astype(jnp.float32) + 0.5
     return px, py, ox, oy
 
 
@@ -347,6 +349,7 @@ def _fwd_kernel(
     height: int,
     chunk: int = CHUNK,
     packed: bool = False,
+    tile: int = TILE,
 ):
     t = pl.program_id(0)
     base = base_ref[t]
@@ -354,7 +357,7 @@ def _fwd_kernel(
     count = count_ref[t]
     n_ch = (head + count + chunk - 1) // chunk
 
-    px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
+    px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image, tile)
     in_image = (px <= width) & (py <= height)  # centers are at +0.5
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     color_ref[:] = jnp.zeros_like(color_ref)
@@ -500,6 +503,7 @@ def _bwd_kernel(
     chunk: int = CHUNK,
     packed: bool = False,
     pack_grads: bool = False,
+    tile: int = TILE,
 ):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -513,7 +517,7 @@ def _bwd_kernel(
     end_off = end - (n_ch - 1) * chunk  # lanes of the last chunk that are ours
     tail_partial = jnp.logical_and(count > 0, end_off < chunk)
 
-    px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image)
+    px, py, ox, oy = _tile_pixel_coords(t, tiles_w, tiles_per_image, tile)
     in_image = (px <= width) & (py <= height)
     t_ref[:] = jnp.where(in_image, 1.0, 0.0)
     e_ref[:] = jnp.zeros_like(e_ref)
@@ -530,7 +534,7 @@ def _bwd_kernel(
     )  # (256, 1)
     vt_term = vt_col * t_fwd_col  # (256, 1)
 
-    ones = jnp.ones((N_PIX, 1), jnp.float32)
+    ones = jnp.ones((tile * tile, 1), jnp.float32)
     basis = jnp.concatenate(
         [ones, lx, ly, lx * lx, lx * ly, ly * ly], axis=1
     )  # (256, 6) in tile-local coordinates
@@ -808,7 +812,7 @@ def _bwd_kernel(
     jax.jit,
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
-        "width", "height", "n_tiles", "chunk", "packed",
+        "width", "height", "n_tiles", "chunk", "packed", "tile",
     ),
 )
 def _fwd_call(
@@ -825,20 +829,22 @@ def _fwd_call(
     n_tiles: int,
     chunk: int = CHUNK,
     packed: bool = False,
+    tile: int = TILE,
 ):
     F = isect_data.shape[0]
     D = n_channels
+    n_pix = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, D, n_pix), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, n_pix), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, F, chunk), jnp.float32),
-            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((n_pix, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
@@ -851,13 +857,14 @@ def _fwd_call(
         height=height,
         chunk=chunk,
         packed=packed,
+        tile=tile,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, D, N_PIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, N_PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, D, n_pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, n_pix), jnp.float32),
         ],
         compiler_params=_seq_params(),
         interpret=_interpret(),
@@ -869,6 +876,7 @@ def _fwd_call(
     static_argnames=(
         "n_channels", "tiles_w", "tiles_per_image",
         "width", "height", "n_tiles", "chunk", "packed", "pack_grads",
+        "tile",
     ),
 )
 def _bwd_call(
@@ -890,10 +898,12 @@ def _bwd_call(
     chunk: int = CHUNK,
     packed: bool = False,
     pack_grads: bool = False,
+    tile: int = TILE,
 ):
     F = isect_data.shape[0]
     P_pad = isect_data.shape[1]
     D = n_channels
+    n_pix = tile * tile
     # rows beyond the live grad rows are DMA alignment padding (may carry
     # scratch garbage; the reduction never reads them)
     F_out = bwd_out_rows(D, pack_grads)
@@ -902,17 +912,17 @@ def _bwd_call(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, D, N_PIX), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, 1, N_PIX), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, D, n_pix), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, n_pix), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, D, n_pix), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 1, n_pix), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((NBUF, F, chunk), jnp.float32),
             pltpu.VMEM((NBUF, F_out, chunk), jnp.float32),
-            pltpu.VMEM((N_PIX, 1), jnp.float32),
-            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((n_pix, 1), jnp.float32),
+            pltpu.VMEM((n_pix, 1), jnp.float32),
             pltpu.VMEM((F_out, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
@@ -929,6 +939,7 @@ def _bwd_call(
         chunk=chunk,
         packed=packed,
         pack_grads=pack_grads,
+        tile=tile,
     )
     # Slots in the sentinel tail (beyond the last tile's span) are never
     # written — the reduction masks them by position (ops/rasterize.py).

@@ -240,7 +240,10 @@ def rasterization(
     if render_mode not in _COLOR_MODES | _DEPTH_MODES | _HIT_DIST_MODES:
         raise ValueError(f"unknown render_mode: {render_mode!r}")
     assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
-    assert tile_size == TILE, "the Pallas rasterizer requires tile_size == 16"
+    # 16 is the measured default; 8/32 reshape the whole plan/sort/kernel
+    # pipeline (the analog of the reference's runtime tile dispatch,
+    # Rendering.cpp:261-274) — see docs/perf-analysis.md for the sweep
+    assert tile_size in (8, 16, 32), tile_size
 
     has_color = render_mode_has_color(render_mode)
     has_depth = render_mode_has_depth_channel(render_mode)

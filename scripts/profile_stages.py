@@ -2,7 +2,11 @@
 
 Times each piece of ops/rasterize.py separately on the real chip so
 optimization effort goes where the milliseconds are.  Also microbenches
-lax.sort operand/key scaling at worklist size.
+lax.sort operand/key scaling at worklist size, and prints a roofline
+table (bytes moved / flops vs v5e peaks) for the measured stages.
+
+Honors GSPLAT_TPU_PACK_SORT / GSPLAT_TPU_PACK_GRADS for the packed
+training pipeline's stage shapes.
 """
 
 import os
@@ -22,8 +26,11 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from gsplat_tpu.ops import rasterize as rz
+from gsplat_tpu.ops.rasterize import PACK_GRADS, PACK_SORT
 from gsplat_tpu.ops.gather_pallas import CH, LANE, W_A, _hi_lo
-from gsplat_tpu.ops.rasterize_pallas import TILE, _bwd_call, _fwd_call
+from gsplat_tpu.ops.rasterize_pallas import (
+    TILE, _bwd_call, _fwd_call, grad_pack_rows, packed_rows,
+)
 from gsplat_tpu.ops.segsum_pallas import PIECE as SEG_PIECE
 from gsplat_tpu.ops.segsum_pallas import SEG as SEG_SEG
 from gsplat_tpu.ops.segsum_pallas import segment_rowsum
@@ -40,6 +47,9 @@ def _sync(out):
     np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
 
 
+TIMES = {}
+
+
 def timeit(name, fn, *args, reps=5):
     out = fn(*args)
     _sync(out)
@@ -48,6 +58,7 @@ def timeit(name, fn, *args, reps=5):
         out = fn(*args)
     _sync(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
+    TIMES[name] = dt
     print(f"{name:40s} {dt:9.2f} ms", flush=True)
     return out
 
@@ -162,12 +173,12 @@ def main():
             rz._pad_tail(gidl, W_A, 0.0),
             *([jnp.zeros((row_cap + W_A,), jnp.float32)] * 7),
         ])
-        R = 6 + D
-        r_pad = rz._round_up(R + 2, 8)
+        R_out = packed_rows(D) if PACK_SORT else 6 + D
+        r_pad = rz._round_up(R_out + 2, 8)
         return expand_emission2(
             table_rr, table_g, win1, win2, n_slots,
-            n_render=R, r_pad=r_pad, tile_w=tw,
-            tiles_per_im=tw * th, sentinel=T, k=K,
+            n_render=6 + D, r_pad=r_pad, tile_w=tw,
+            tiles_per_im=tw * th, sentinel=T, k=K, packed=PACK_SORT,
         )
 
     keys, fields = timeit(
@@ -176,13 +187,13 @@ def main():
         plan.rr_cum_ex, plan.rr_cum_in, plan.win1, plan.win2, plan.n_slots,
     )
 
-    R = 6 + D
+    R = packed_rows(D) if PACK_SORT else 6 + D
     pos_iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
     operands = (keys, pos_iota) + tuple(fields[i] for i in range(R))
 
     # --- the big sort ---
     s = timeit(
-        "BIG SORT (11 ops, 2 keys, P)",
+        f"BIG SORT ({R + 2} ops, 2 keys, P)",
         jax.jit(lambda *xs: jax.lax.sort(xs, num_keys=2, is_stable=False)),
         *operands,
     )
@@ -213,7 +224,7 @@ def main():
             lambda sp, b, h, c: _fwd_call(
                 sp, b, h, c, n_channels=D, tiles_w=tw,
                 tiles_per_image=tw * th, width=W, height=H, n_tiles=T,
-                chunk=CHUNK,
+                chunk=CHUNK, packed=PACK_SORT,
             )
         ),
         sorted_pad, base, heads, counts,
@@ -228,7 +239,7 @@ def main():
             lambda sp, b, h, c, vp, vt, po, tf: _bwd_call(
                 sp, b, h, c, vp, vt, po, tf, n_channels=D, tiles_w=tw,
                 tiles_per_image=tw * th, width=W, height=H, n_tiles=T,
-                chunk=CHUNK,
+                chunk=CHUNK, packed=PACK_SORT, pack_grads=PACK_GRADS,
             )
         ),
         sorted_pad, base, heads, counts, v_pix, v_tf, pix_out, t_final,
@@ -238,21 +249,31 @@ def main():
     P = emis_s.shape[0]
     live_total = bounds[-1:]
 
+    n_sort_rows = grad_pack_rows(D) if PACK_GRADS else 6 + D
+
     def id_sort(v_slot, emis_s, live_total):
         pos = jnp.arange(P, dtype=jnp.int32)
         in_live = pos < live_total[0]
         ids = jnp.where(in_live, emis_s, rz.ID_SENTINEL)
-        n_rows_grad = 6 + D
-        operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_rows_grad))
+        operands = (ids,) + tuple(v_slot[i, :P] for i in range(n_sort_rows))
         return jax.lax.sort(operands, num_keys=1, is_stable=False)
 
     srt = timeit(
-        "BWD ID-SORT (10 ops, 1 key, P)",
+        f"BWD ID-SORT ({n_sort_rows + 1} ops, 1 key, P)",
         jax.jit(id_sort), v_slot, emis_s, live_total,
     )
 
     def seg_reduce(srt, rr_cum_in, gh_bounds, dummy_i, n_slots_arr, perm):
-        rows = list(srt[1:])
+        if PACK_GRADS:
+            from gsplat_tpu.ops.mxu import unpack_bf16_pair
+
+            rows = []
+            for r in srt[1:]:
+                hi, lo = unpack_bf16_pair(r)
+                rows += [hi, lo]
+            rows = rows[: 6 + D]
+        else:
+            rows = list(srt[1:])
         Wc = len(rows)
         F_pad = rz._round_up(Wc, 8)
         rows += [jnp.zeros_like(rows[0])] * (F_pad - Wc)
@@ -295,6 +316,84 @@ def main():
             lambda *xs: jax.lax.sort(xs, num_keys=n_keys, is_stable=False)
         )
         timeit(f"sort ops={n_ops} keys={n_keys}", f, *ops)
+
+    # --- roofline: measured vs v5e speed-of-light per stage ---
+    # v5e (1 chip): HBM ~819 GB/s, MXU ~197 TFLOPS bf16 (394 TOPS int8).
+    HBM = 819e9
+    MXU = 197e12
+    GB = 1e9
+    n_slots = float(jnp.asarray(plan.n_slots)[0])
+    Pf = float(P)
+    Ef = float(E)
+    F_sort_big = R + 2
+    F_idsort = n_sort_rows + 1
+    import math as _m
+
+    log2P = _m.log2(Pf)
+    log2E = _m.log2(Ef)
+
+    def row(name, meas, bytes_sol, flops_sol, note):
+        t_sol = max(bytes_sol / HBM, flops_sol / MXU) * 1e3
+        pct = 100.0 * t_sol / max(meas, 1e-9)
+        print(
+            f"{name:34s} {meas:8.1f} ms   SoL {t_sol:7.2f} ms "
+            f"({bytes_sol/GB:6.2f} GB, {flops_sol/1e9:8.1f} GFLOP) "
+            f"-> {pct:5.1f}% of SoL   {note}"
+        )
+        return t_sol
+
+    print("\n--- roofline (speed-of-light = max(HBM bytes, MXU flops); "
+          "sorts priced as 4-digit radix-8 rescatter passes) ---")
+    tot_meas = 0.0
+    tot_sol = 0.0
+    # a sort's minimal data movement: 4 radix passes x (read+write) of all
+    # operands (32-bit keys, radix-256); XLA's bitonic network instead runs
+    # ~log2(n)^2/2 compare-exchange passes over every operand.
+    for nm, F_s, n in (
+        ("compaction sort", 15, Ef),
+        (f"big sort ({F_sort_big} ops)", F_sort_big, Pf),
+        (f"bwd id-sort ({F_idsort} ops)", F_idsort, Pf),
+    ):
+        key = next((k for k in TIMES if k.lower().startswith(nm.split(" (")[0].lower())), None)
+        meas = next((v for k, v in TIMES.items() if nm.split(" (")[0].upper() in k.upper()), 0.0)
+        b = 4 * 2 * F_s * n * 4.0  # 4 passes x r+w x operands x 4B
+        sol = row(nm, meas, b, 0.0, f"bitonic runs ~{log2P**2/2:.0f} passes vs 8 priced")
+        tot_meas += meas
+        tot_sol += sol
+    # expansion: window DMAs + output write + one-hot select matmuls
+    F_tab = 16 + 24
+    b_exp = (F_tab * 768 * 4.0) * (Pf / 512) + (R + 2) * Pf * 4.0
+    fl_exp = Pf * 768 * (F_tab + 4) * 2.0 * 3  # 3-pass exact bf16 splits
+    meas = TIMES.get("emission tables + expand", 0.0)
+    tot_meas += meas
+    tot_sol += row("expansion", meas, b_exp, fl_exp, "windowed one-hot MXU select")
+    # fwd kernel: stream worklist + sigma/scan/color matmuls
+    R8 = -(-R // 8) * 8
+    b_fwd = R8 * Pf * 4.0 + T * (D + 1) * 256 * 4.0
+    fl_fwd = Pf * 256 * (48 + 128 * 2 + 2 * D * 3) * 2.0
+    meas = TIMES.get("FWD kernel", 0.0)
+    tot_meas += meas
+    tot_sol += row("fwd kernel", meas, b_fwd, fl_fwd,
+                   "+ ~3 VPU transcendentals / slot-pixel")
+    # bwd kernel: fwd streams + grad writes + ~2.5x matmul work
+    F_out = -(-(n_sort_rows if PACK_GRADS else 6 + D) // 8) * 8
+    b_bwd = R8 * Pf * 4.0 + F_out * Pf * 4.0 + 2 * T * (D + 1) * 256 * 4.0
+    fl_bwd = fl_fwd * 2.5
+    meas = TIMES.get("BWD kernel", 0.0)
+    tot_meas += meas
+    tot_sol += row("bwd kernel", meas, b_bwd, fl_bwd, "front-to-back replay")
+    # segsum reduce + unsort
+    meas = TIMES.get("segsum reduce + unsort", 0.0)
+    b_seg = 16 * Pf * 4.0 + 15 * Ef * 4.0 * 8
+    fl_seg = Pf * 512 * 16 * 2.0 * 2
+    tot_meas += meas
+    tot_sol += row("segsum + unsort", meas, b_seg, fl_seg, "")
+    for nm in ("projection", "make_tight_plan", "searchsorted spans"):
+        meas = TIMES.get(nm, 0.0)
+        tot_meas += meas
+    print(f"{'TOTAL (measured stages)':34s} {tot_meas:8.1f} ms   "
+          f"SoL {tot_sol:7.2f} ms -> pipeline at "
+          f"{100.0 * tot_sol / max(tot_meas, 1e-9):.1f}% of speed-of-light")
 
 
 if __name__ == "__main__":

