@@ -15,6 +15,11 @@ import os
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# packed sort payloads: the benchmark measures the TRAINING configuration
+# the example trainers run (quality-gated; docs/perf-analysis.md).  Set
+# GSPLAT_TPU_PACK_SORT=0 GSPLAT_TPU_PACK_GRADS=0 for the exact path.
+os.environ.setdefault("GSPLAT_TPU_PACK_SORT", "1")
+os.environ.setdefault("GSPLAT_TPU_PACK_GRADS", "1")
 
 import jax
 import jax.numpy as jnp

@@ -85,6 +85,12 @@ class Config:
     # gradients; the synthetic clean-target benchmark produces smaller
     # grads — sweep via CLI (see TRAINING_NOTES.md)
     grow_grad2d: float = 2e-4
+    # bf16-pair packed sort payloads / per-slot grads: +13% step rate,
+    # quality-gated on the 4k MCMC benchmark (40.29 vs 40.73 dB heldout,
+    # inside the ±0.8 dB eval swing — docs/perf-analysis.md).  Set False
+    # to train on the oracle-exact f32 payload path.
+    pack_payload: bool = True
+    pack_grads: bool = True
     eval_every: int = 7000
     save_every: int = 7000
     opacity_reg: float = 0.0
@@ -484,6 +490,8 @@ class Runner:
             isect_capacity=self.cfg.isect_capacity,
             means2d_offset=offset,
             absgrad=absgrad,
+            pack_payload=self.cfg.pack_payload,
+            pack_grads=self.cfg.pack_grads,
         )
 
     def make_train_step(self, sh_degree: int):
@@ -1205,6 +1213,9 @@ def main():
         if f_.name == "strategy":
             continue
         t = f_.type if isinstance(f_.type, type) else type(f_.default)
+        if t is bool:
+            # bool("False") is True — parse 0/1/true/false explicitly
+            t = lambda v: str(v).lower() in ("1", "true", "yes", "on")
         p.add_argument(f"--{f_.name}", type=t, default=f_.default)
     args = p.parse_args()
     cfg = Config(**vars(args))

@@ -107,8 +107,13 @@ if RASTER_CHUNK <= 0 or RASTER_CHUNK % DEFAULT_CHUNK != 0:
 #     gradients (1 + ceil((6+D)/2) operands instead of 1 + 6+D) and the
 #     kernel's [F_out, P] HBM grad write halves.  ~2**-9 per-slot relative
 #     error entering the per-gaussian sums.
-# Both were gated on the 4k-step MCMC quality benchmark before becoming
-# defaults (see docs/perf-analysis.md round-5 table).
+# The op-level default stays EXACT (f32 payloads) so the public op keeps
+# bit-level parity with the oracle/BASELINE contract; the trainers and
+# bench.py opt in (Config.pack_payload/pack_grads, default True there) —
+# gated on the 4k-step MCMC quality benchmark: packed 40.29 dB heldout
+# vs exact 40.73 at 4k steps, inside the benchmark's ±0.8 dB
+# eval-to-eval swing (docs/perf-analysis.md round-5 table), for +13%
+# step rate.
 PACK_SORT = _os.environ.get("GSPLAT_TPU_PACK_SORT", "0") != "0"
 PACK_GRADS = _os.environ.get("GSPLAT_TPU_PACK_GRADS", "0") != "0"
 

@@ -96,6 +96,8 @@ def render_projected(
     absgrad: bool = False,
     means2d_abs: Optional[jax.Array] = None,
     row_capacity: Optional[int] = None,
+    pack_payload: Optional[bool] = None,
+    pack_grads: Optional[bool] = None,
 ):
     """Tile-intersect, sort, and rasterize already-projected splats.
 
@@ -120,6 +122,8 @@ def render_projected(
         absgrad=absgrad,
         means2d_abs=means2d_abs,
         row_capacity=row_capacity,
+        pack_payload=pack_payload,
+        pack_grads=pack_grads,
     )
 
 
@@ -153,6 +157,15 @@ def rasterization(
     masks: Optional[jax.Array] = None,  # [..., C, th, tw] bool tile masks
     isect_capacity: Optional[int] = None,
     row_capacity: Optional[int] = None,
+    # bf16-pair packed sort payloads / per-slot grads for the TRAINING
+    # path (fewer lax.sort operands; the vjp replays the same quantized
+    # fields, so grads are the exact autodiff of the quantized forward).
+    # None = the GSPLAT_TPU_PACK_SORT / _PACK_GRADS env defaults (off:
+    # the public op keeps oracle-exact f32 payloads).  The example
+    # trainers and bench.py enable both (quality-gated on the 4k MCMC
+    # benchmark — docs/perf-analysis.md round-5 table; +13% step rate).
+    pack_payload: Optional[bool] = None,
+    pack_grads: Optional[bool] = None,
     # Inference fast path: bf16-pair packed sort payload + single-split
     # kernel matmuls (ops/rasterize.py:rasterize_to_pixels_fast) — no
     # autodiff, ~2**-9 error class.  The analog of the reference's
@@ -609,6 +622,8 @@ def rasterization(
             absgrad=absgrad,
             means2d_abs=m2_abs,
             row_capacity=row_capacity,
+            pack_payload=pack_payload,
+            pack_grads=pack_grads,
         )
 
     if render_mode_has_expected_depth(render_mode):
