@@ -20,6 +20,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 # GSPLAT_TPU_PACK_SORT=0 GSPLAT_TPU_PACK_GRADS=0 for the exact path.
 os.environ.setdefault("GSPLAT_TPU_PACK_SORT", "1")
 os.environ.setdefault("GSPLAT_TPU_PACK_GRADS", "1")
+# tile 32 cuts the emission multiplicity ~3.1 -> ~1.9 on this scene, which
+# shrinks every P-proportional sort/expand/span stage; its bwd kernel needs
+# chunk 128 to fit the 16 MiB scoped-VMEM limit.  Measured (round 5):
+# ts16/chunk256 1.801 steps/s -> ts32/chunk128 2.067 steps/s.
+_TS = os.environ.setdefault("GSPLAT_TPU_BENCH_TILE", "32")
+if _TS == "32":
+    os.environ.setdefault("GSPLAT_TPU_RASTER_CHUNK", "128")
 
 import jax
 import jax.numpy as jnp

@@ -742,6 +742,20 @@ class Runner:
                     state, g_screen, radii, self.width, self.height, C
                 )
                 if self.strategy.should_refine(step):
+                    if os.environ.get("GSPLAT_TPU_GRAD2D_DEBUG"):
+                        # calibration aid: where does grow_grad2d sit in the
+                        # accumulated pixel-unit grad distribution?
+                        gg = np.asarray(
+                            state["grad2d"]
+                            / np.maximum(np.asarray(state["count"]), 1.0)
+                        )[np.asarray(alive)]
+                        qs = np.percentile(gg, [50, 90, 95, 99])
+                        print(
+                            f"refine step {step}: grad2d p50/p90/p95/p99 = "
+                            + "/".join(f"{q:.2e}" for q in qs)
+                            + f" (threshold {self.strategy.grow_grad2d:.1e})",
+                            flush=True,
+                        )
                     self.key, k = jax.random.split(self.key)
                     params, moments, alive, state = self.strategy.refine(
                         params, (opt_state.mu, opt_state.nu), alive, state,

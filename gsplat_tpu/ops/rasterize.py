@@ -97,6 +97,20 @@ if RASTER_CHUNK <= 0 or RASTER_CHUNK % DEFAULT_CHUNK != 0:
         f"{DEFAULT_CHUNK}, got {RASTER_CHUNK}"
     )
 
+# The bwd replay kernel holds ~2x the fwd kernel's VMEM working set (carry
+# boundaries + grad accumulators per field row); at tile_size=32 it is the
+# only stage over the 16 MiB scoped-VMEM limit at chunk 256.  Allow an
+# independent (smaller) bwd chunk — the span bases are recomputed below, so
+# fwd can keep its tuned width.
+RASTER_CHUNK_BWD = int(
+    _os.environ.get("GSPLAT_TPU_RASTER_CHUNK_BWD", str(RASTER_CHUNK))
+)
+if RASTER_CHUNK_BWD <= 0 or RASTER_CHUNK_BWD % DEFAULT_CHUNK != 0:
+    raise ValueError(
+        f"GSPLAT_TPU_RASTER_CHUNK_BWD must be a positive multiple of "
+        f"{DEFAULT_CHUNK}, got {RASTER_CHUNK_BWD}"
+    )
+
 # Training-sort payload compression (lax.sort cost is ~per-OPERAND on TPU,
 # nearly independent of the keys — see docs/perf-analysis.md):
 #   PACK_SORT: the big emission sort carries bf16-pair packed render fields
@@ -497,11 +511,23 @@ def _core_bwd(
     P = emis_s.shape[0]
     T = n_images * tile_width * tile_height
 
+    if RASTER_CHUNK_BWD != RASTER_CHUNK:
+        starts_b = base * RASTER_CHUNK + heads
+        base_b = starts_b // RASTER_CHUNK_BWD
+        heads_b = starts_b - base_b * RASTER_CHUNK_BWD
+        if RASTER_CHUNK_BWD > RASTER_CHUNK:
+            # fwd padded the stream for its own chunk width; widen for bwd
+            sorted_pad = jnp.pad(
+                sorted_pad,
+                ((0, 0), (0, 2 * (RASTER_CHUNK_BWD - RASTER_CHUNK))),
+            )
+    else:
+        base_b, heads_b = base, heads
     (v_slot,) = _bwd_call(
-        sorted_pad, base, heads, counts, v_pix, v_tfinal, pix_out, t_final,
+        sorted_pad, base_b, heads_b, counts, v_pix, v_tfinal, pix_out, t_final,
         n_channels=D, tiles_w=tile_width,
         tiles_per_image=tile_width * tile_height, width=width, height=height,
-        n_tiles=T, chunk=RASTER_CHUNK, packed=pack_payload,
+        n_tiles=T, chunk=RASTER_CHUNK_BWD, packed=pack_payload,
         pack_grads=pack_grads, tile=tile_size,
     )  # per-slot grads at sorted positions: [6+D, P_pad] f32 rows, or
     #    [ceil((6+D)/2), P_pad] bf16-pair carriers when pack_grads
