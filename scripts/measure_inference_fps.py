@@ -39,13 +39,20 @@ def grid_upsample(means, quats, scales, opac, colors, k=5):
 
 
 def main():
+    # GSPLAT_TPU_INFER_TILE=32 folds the round-5 tile win into inference
+    # (fwd-only, so the ts32 bwd-kernel VMEM constraint does not apply);
+    # GSPLAT_TPU_INFER_MODES=fast trims the matrix to the fast path only
+    # (each config is a fresh whole-module Mosaic compile on this host).
+    ts = int(os.environ.get("GSPLAT_TPU_INFER_TILE", "16"))
+    modes = os.environ.get("GSPLAT_TPU_INFER_MODES", "exact,fast").split(",")
     means, quats, scales, opac, colors, viewmats, Ks, W0, H0 = load_test_data()
     m, q, s, o, c = grid_upsample(means, quats, scales, opac, colors)
-    print(f"n_gaussians {len(m)}", flush=True)
+    print(f"n_gaussians {len(m)} tile {ts}", flush=True)
     results = {}
+    cap_scale = 1.0 if ts == 16 else 0.75
     for label, (W, H, cap) in {
-        "1080p": (1920, 1080, 6 * 1024 * 1024),
-        "4k": (3840, 2160, 9 * 1024 * 1024),
+        "1080p": (1920, 1080, int(6 * 1024 * 1024 * cap_scale)),
+        "4k": (3840, 2160, int(9 * 1024 * 1024 * cap_scale)),
     }.items():
         Ks2 = Ks[:1].copy()
         sc = W / W0
@@ -57,9 +64,11 @@ def main():
             jnp.asarray(Ks2),
         )
         for mode, fast in (("exact", False), ("fast", True)):
+            if mode not in modes:
+                continue
             fn = jax.jit(
                 lambda *a, fast=fast, W=W, H=H, cap=cap: rasterization(
-                    *a, W, H, isect_capacity=cap, fast=fast
+                    *a, W, H, isect_capacity=cap, fast=fast, tile_size=ts
                 )[0].sum()
             )
             v = float(fn(*args))  # compile + run
@@ -73,11 +82,13 @@ def main():
                   flush=True)
 
     print()
-    print("| resolution | exact ms | fast ms | speedup | fast FPS |")
-    print("|---|---|---|---|---|")
-    for label in ("1080p", "4k"):
-        e, f = results[f"{label}/exact"], results[f"{label}/fast"]
-        print(f"| {label} | {e:.1f} | {f:.1f} | {e/f:.2f}x | {1e3/f:.2f} |")
+    if all(f"{lb}/{md}" in results for lb in ("1080p", "4k")
+           for md in ("exact", "fast")):
+        print("| resolution | exact ms | fast ms | speedup | fast FPS |")
+        print("|---|---|---|---|---|")
+        for label in ("1080p", "4k"):
+            e, f = results[f"{label}/exact"], results[f"{label}/fast"]
+            print(f"| {label} | {e:.1f} | {f:.1f} | {e/f:.2f}x | {1e3/f:.2f} |")
     print(json.dumps(results))
 
 
